@@ -1,0 +1,64 @@
+"""Batched JAX encode pipeline vs the oracle: bit-exact on every signal class."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import make_hydrophone, make_mixed
+from x3_tpu.models import oracle
+from x3_tpu.models.encoder import encode
+from x3_tpu.params import Parameters
+
+P = Parameters()
+
+
+def oracle_stream(wav):
+    st = [0] * 6
+    data = oracle.encode(wav, P, st)
+    return data, np.asarray(st)
+
+
+@pytest.mark.parametrize("n", [1, 2, 19, 20, 21, 9_999, 10_000, 10_001, 25_000])
+def test_jax_encode_matches_oracle_hydrophone(rng, n):
+    wav = make_hydrophone(rng, n)
+    want, want_stats = oracle_stream(wav)
+    got = encode(wav, P, engine="jax", batch_frames=4)
+    assert got.data == want
+    np.testing.assert_array_equal(got.stats, want_stats)
+
+
+def test_jax_encode_matches_oracle_mixed(rng):
+    wav = make_mixed(rng, 34_567)
+    want, want_stats = oracle_stream(wav)
+    got = encode(wav, P, engine="jax", batch_frames=2)
+    assert got.data == want
+    np.testing.assert_array_equal(got.stats, want_stats)
+
+
+def test_jax_encode_white_noise_passthrough(rng):
+    wav = rng.integers(-32768, 32768, 12_345).astype(np.int16)
+    want, _ = oracle_stream(wav)
+    got = encode(wav, P, engine="jax", batch_frames=2)
+    assert got.data == want
+
+
+def test_jax_encode_silence(rng):
+    wav = np.zeros(20_000, dtype=np.int16)
+    want, _ = oracle_stream(wav)
+    got = encode(wav, P, engine="jax", batch_frames=2)
+    assert got.data == want
+
+
+def test_jax_encode_golden_frame(golden):
+    want = oracle.encode(golden["frame_wav"], P)
+    got = encode(golden["frame_wav"], P, engine="jax", batch_frames=1)
+    assert got.data == want
+
+
+def test_jax_encode_empty():
+    got = encode(np.array([], dtype=np.int16), P)
+    assert got.data == b""
+
+
+def test_numpy_engine_matches():
+    wav = np.arange(-500, 500, dtype=np.int16)
+    assert encode(wav, P, engine="numpy").data == oracle.encode(wav, P)

@@ -1,0 +1,132 @@
+"""Public encode API: the TPU batched pipeline with host frame assembly.
+
+Mirrors the reference's `encoder::encode` surface (encoder.rs:51-111): takes
+a mono int16 sample stream, emits the concatenated frame stream (headers +
+payloads, no archive header), and accumulates code-usage statistics.  Frames
+are batched onto the device in large groups so launch overhead amortizes
+(SURVEY.md §7 "host/device boundary hygiene")."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import constants
+from ..errors import MoreThanOneChannel
+from ..ops.crc import crc16_many
+from ..params import Parameters
+from . import oracle
+
+DEFAULT_BATCH_FRAMES = 256
+
+
+def build_frame_headers(n_samples: np.ndarray, source_id: int, payload_lens: np.ndarray, payload_crcs: np.ndarray) -> np.ndarray:
+    """Vectorized 20-byte frame headers for many frames at once
+    (reference: write_frame_header, encoder.rs:122-162, including the
+    channels-byte quirk)."""
+    f = len(n_samples)
+    h = np.zeros((f, constants.FRAME_HEADER_LENGTH), dtype=np.uint8)
+    h[:, 0] = 0x78
+    h[:, 1] = 0x33
+    h[:, constants.P_SOURCE_ID] = source_id
+    h[:, constants.P_CHANNELS] = source_id
+    h[:, constants.P_SAMPLES] = (n_samples >> 8) & 0xFF
+    h[:, constants.P_SAMPLES + 1] = n_samples & 0xFF
+    h[:, constants.P_PAYLOAD_SIZE] = (payload_lens >> 8) & 0xFF
+    h[:, constants.P_PAYLOAD_SIZE + 1] = payload_lens & 0xFF
+    hcrc = crc16_many(h[:, : constants.P_HEADER_CRC], np.full(f, constants.P_HEADER_CRC))
+    h[:, constants.P_HEADER_CRC] = (hcrc >> 8) & 0xFF
+    h[:, constants.P_HEADER_CRC + 1] = hcrc & 0xFF
+    h[:, constants.P_PAYLOAD_CRC] = (payload_crcs >> 8) & 0xFF
+    h[:, constants.P_PAYLOAD_CRC + 1] = payload_crcs & 0xFF
+    return h
+
+
+class EncodeResult:
+    """Encoded stream plus statistics (structured replacement for the
+    reference's stdout statistics, encoder.rs:96-108)."""
+
+    def __init__(self, data: bytes, stats: np.ndarray):
+        self.data = data
+        self.stats = stats  # int64 [6]
+
+    def format_stats(self) -> str:
+        t = max(1, int(self.stats.sum()))
+        pct = [100.0 * s / t for s in self.stats]
+        return (
+            "\nStatistics:\n"
+            f"  Rice-0: {pct[0]:.4f}%\n"
+            f"  Rice-1: {pct[1]:.4f}%\n"
+            f"  Rice-2: {pct[2]:.4f}%\n"
+            f"  Rice-3: {pct[3]:.4f}%\n"
+            f"  BFP: {pct[4]:.4f}%\n"
+            f"  Pass-through {pct[5]:.4f}%\n"
+        )
+
+
+def _frames_of(samples: np.ndarray, spf: int):
+    n = len(samples)
+    n_frames = -(-n // spf) if n else 0
+    return n_frames
+
+
+def encode(
+    samples,
+    params: Parameters | None = None,
+    engine: str = "jax",
+    batch_frames: int = DEFAULT_BATCH_FRAMES,
+    source_id: int = 1,
+) -> EncodeResult:
+    """Encode a mono int16 stream into a frame stream (no archive header).
+
+    engine: "jax" (batched TPU pipeline) or "numpy" (oracle)."""
+    params = params or Parameters()
+    samples = np.ascontiguousarray(samples, dtype=np.int16)
+    if samples.ndim != 1:
+        raise MoreThanOneChannel("expected a mono 1-D sample array")
+
+    stats = np.zeros(6, dtype=np.int64)
+    if engine == "numpy":
+        st = [0] * 6
+        data = oracle.encode(samples, params, st)
+        stats += np.asarray(st, dtype=np.int64)
+        return EncodeResult(data, stats)
+    if engine != "jax":
+        raise ValueError(f"unknown engine {engine!r}")
+
+    from ..ops.encode_kernel import encode_frames, frame_geometry
+
+    spf = params.samples_per_frame
+    n = len(samples)
+    n_frames = _frames_of(samples, spf)
+    out_parts: list[bytes] = []
+
+    for base in range(0, n_frames, batch_frames):
+        f_batch = min(batch_frames, n_frames - base)
+        batch = np.zeros((batch_frames, spf), dtype=np.int16)
+        n_valid = np.zeros(batch_frames, dtype=np.int32)
+        for i in range(f_batch):
+            start = (base + i) * spf
+            chunk = samples[start : start + spf]
+            batch[i, : len(chunk)] = chunk
+            n_valid[i] = len(chunk)
+        res = encode_frames(batch, n_valid, params)
+        payload = np.asarray(res["payload"])
+        nbytes = np.asarray(res["nbytes"])
+        crc = np.asarray(res["crc"])
+        stats += np.asarray(res["stats"])[:f_batch].sum(axis=0, dtype=np.int64)
+
+        headers = build_frame_headers(n_valid[:f_batch], source_id, nbytes[:f_batch], crc[:f_batch])
+        # Assemble: header || payload[:nbytes] per frame.
+        sizes = constants.FRAME_HEADER_LENGTH + nbytes[:f_batch]
+        total = int(sizes.sum())
+        buf = np.zeros(total, dtype=np.uint8)
+        pos = 0
+        for i in range(f_batch):
+            buf[pos : pos + 20] = headers[i]
+            pos += 20
+            nb = int(nbytes[i])
+            buf[pos : pos + nb] = payload[i, :nb]
+            pos += nb
+        out_parts.append(buf.tobytes())
+
+    return EncodeResult(b"".join(out_parts), stats)
