@@ -1,0 +1,129 @@
+"""Benchmark the TPU X3 codec against the reference's CPU numbers.
+
+Prints ONE JSON line:
+  {"metric": "encode_throughput", "value": <MB/s>, "unit": "MB/s",
+   "vs_baseline": <value / 80 MB/s>, ...details}
+
+Baseline: the Rust reference encodes ~80 MB/s and decodes ~52 MB/s
+single-core (BASELINE.md, /root/reference/test/timings.csv).  The
+north-star target is >1 GB/s encode per TPU chip with bit-exact output.
+
+Timing methodology: every measured call is a jitted function whose scalar
+result is materialized on host (int(...)), which forces completion even on
+backends where block_until_ready on bulk outputs is unreliable.  Device
+throughput is measured with inputs resident on device; the end-to-end file
+throughput (including host framing, transfers, and assembly) is reported
+separately — on this sandbox's tunneled TPU the transfer path dominates it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/x3_tpu_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+BASELINE_ENCODE_MBS = 80.0  # timings.csv EH120: 72.0 MB / 0.90 s
+BASELINE_DECODE_MBS = 52.0  # timings.csv EH120 decode
+
+
+def make_corpus(n_frames: int, spf: int, seed: int = 7) -> np.ndarray:
+    """Low-entropy hydrophone-like corpus (drift + small noise), matching the
+    workload class of the reference's timings.csv."""
+    rng = np.random.default_rng(seed)
+    n = n_frames * spf
+    t = np.arange(n, dtype=np.float64)
+    slow = 2000.0 * np.sin(2 * np.pi * t / 9773.0)
+    noise = rng.normal(0.0, 6.0, n)
+    return np.clip(np.round(slow + noise), -32768, 32767).astype(np.int16)
+
+
+def timed(fn, args, reps: int) -> float:
+    int(fn(*args))  # compile + warm
+    t0 = time.perf_counter()
+    outs = [fn(*args) for _ in range(reps)]
+    int(outs[-1])
+    return (time.perf_counter() - t0) / reps
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from x3_tpu.models import oracle
+    from x3_tpu.models.encoder import encode
+    from x3_tpu.ops.decode_kernel import decode_frames
+    from x3_tpu.ops.encode_kernel import encode_frames, frame_geometry
+    from x3_tpu.params import Parameters
+
+    params = Parameters()
+    spf = params.samples_per_frame
+    S, B, L, W = frame_geometry(params)
+
+    batch_frames = int(os.environ.get("X3_BENCH_BATCH", "512"))
+    reps = int(os.environ.get("X3_BENCH_REPS", "10"))
+    wav = make_corpus(batch_frames, spf)
+    in_mb = wav.nbytes / 1e6
+
+    frames = wav.reshape(batch_frames, spf)
+    n_valid = np.full(batch_frames, spf, np.int32)
+    dev_frames = jax.device_put(frames)
+    dev_nvalid = jax.device_put(n_valid)
+
+    # --- device encode (input-resident, scalar-synced) ---
+    enc_sync = jax.jit(
+        lambda s, n: (
+            lambda o: jnp.sum(o["crc"]) + jnp.sum(o["total_bits"]) + jnp.sum(o["payload_words"].astype(jnp.int32))
+        )(encode_frames(s, n, params))
+    )
+    dev_encode_mbs = in_mb / timed(enc_sync, (dev_frames, dev_nvalid), reps)
+
+    # --- device decode ---
+    out = encode_frames(dev_frames, dev_nvalid, params)
+    payload = np.ascontiguousarray(out["payload_words"]).byteswap().view(np.uint8)
+    comp_mb = float(np.asarray(out["nbytes"]).sum()) / 1e6
+    dev_payload = jax.device_put(payload)
+    dec_sync = jax.jit(
+        lambda pb, n: (lambda de: jnp.sum(de[0].astype(jnp.int32)) + de[1].sum())(decode_frames(pb, n, params))
+    )
+    dev_decode_mbs = in_mb / timed(dec_sync, (dev_payload, dev_nvalid), reps)
+
+    # --- decode correctness on the bench corpus ---
+    dec, err = decode_frames(dev_payload, dev_nvalid, params)
+    decode_exact = bool(np.array_equal(np.asarray(dec), frames)) and not bool(np.asarray(err).any())
+
+    # --- end-to-end encode (host framing + transfers + assembly) ---
+    res = encode(wav, params, batch_frames=batch_frames)  # warm
+    t0 = time.perf_counter()
+    res = encode(wav, params, batch_frames=batch_frames)
+    e2e_encode_mbs = in_mb / (time.perf_counter() - t0)
+    ratio = wav.nbytes / len(res.data)
+
+    # --- bit-exactness spot check vs the oracle (first 2 frames) ---
+    n_check = 2 * spf
+    exact = res.data.startswith(oracle.encode(wav[:n_check], params))
+
+    print(json.dumps({
+        "metric": "encode_throughput",
+        "value": round(dev_encode_mbs, 1),
+        "unit": "MB/s",
+        "vs_baseline": round(dev_encode_mbs / BASELINE_ENCODE_MBS, 2),
+        "device_decode_mbs": round(dev_decode_mbs, 1),
+        "decode_vs_baseline": round(dev_decode_mbs / BASELINE_DECODE_MBS, 2),
+        "e2e_encode_mbs": round(e2e_encode_mbs, 1),
+        "compression_ratio": round(ratio, 2),
+        "bit_exact": bool(exact),
+        "decode_exact": decode_exact,
+        "batch_frames": batch_frames,
+        "input_mb": round(in_mb, 1),
+        "compressed_mb": round(comp_mb, 2),
+        "platform": jax.devices()[0].platform,
+    }))
+
+
+if __name__ == "__main__":
+    main()

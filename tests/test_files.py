@@ -1,0 +1,174 @@
+"""File layer + CLI: archive format, roundtrips, error behavior."""
+
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from tests.conftest import REPO_ROOT, make_hydrophone, make_mixed
+from x3_tpu import archive
+from x3_tpu.errors import FrameHeaderInvalidPayloadCRC
+from x3_tpu.files import X3aReader, wav_to_x3a, x3a_to_wav
+from x3_tpu.params import Parameters
+from x3_tpu.utils.wav import read_wav, write_wav
+from x3_tpu.utils.xmlmeta import build_xml, parse_xml
+
+
+def test_xml_roundtrip():
+    p = Parameters()
+    xml = build_xml(96000, p)
+    fs, params = parse_xml(xml)
+    assert fs == 96000
+    assert params == p
+    # Exact reference XML bytes (encodefile.rs:93-117).
+    assert xml.startswith(b'<X3ARCH PROG="x3new.m" VERSION="2.0" />')
+    assert b'<CODES N="4">RICE0,RICE1,RICE3,BFP</CODES>' in xml
+    assert b'<T N="3">3,8,20</T>' in xml
+
+
+def test_archive_header_roundtrip():
+    p = Parameters()
+    hdr = archive.build_archive_header(44100, p)
+    assert hdr[:8] == b"X3ARCHIV"
+    assert len(hdr) % 2 == 0
+    spec, size = archive.parse_archive_header(hdr)
+    assert size == len(hdr)
+    assert spec.sample_rate == 44100
+    assert spec.params == p
+
+
+def test_wav_io_roundtrip(tmp_path, rng):
+    wav = make_hydrophone(rng, 4321)
+    path = tmp_path / "t.wav"
+    write_wav(path, wav, 44100)
+    got, rate = read_wav(path)
+    assert rate == 44100
+    np.testing.assert_array_equal(got, wav)
+
+
+@pytest.mark.parametrize("engine", ["jax", "numpy"])
+def test_file_roundtrip(tmp_path, rng, engine):
+    wav = make_mixed(rng, 25_000)
+    wav_path = tmp_path / "in.wav"
+    x3a_path = tmp_path / "out.x3a"
+    back_path = tmp_path / "back.wav"
+    write_wav(wav_path, wav, 44100)
+    wav_to_x3a(wav_path, x3a_path, engine=engine)
+    errors = x3a_to_wav(x3a_path, back_path, engine=engine)
+    assert errors == 0
+    got, rate = read_wav(back_path)
+    assert rate == 44100
+    np.testing.assert_array_equal(got, wav)
+
+
+def test_x3a_reader(tmp_path, rng):
+    wav = make_hydrophone(rng, 23_456)
+    wav_path = tmp_path / "in.wav"
+    x3a_path = tmp_path / "out.x3a"
+    write_wav(wav_path, wav, 96000)
+    wav_to_x3a(wav_path, x3a_path)
+
+    reader = X3aReader.open(x3a_path)
+    assert reader.spec.sample_rate == 96000
+    assert len(reader) == 3
+    chunks = []
+    while (chunk := reader.decode_next_frame()) is not None:
+        chunks.append(chunk)
+    assert reader.frame_errors == 0
+    np.testing.assert_array_equal(np.concatenate(chunks), wav)
+
+
+def test_payload_crc_error_raises(tmp_path, rng):
+    wav = make_hydrophone(rng, 12_000)
+    wav_path = tmp_path / "in.wav"
+    x3a_path = tmp_path / "out.x3a"
+    write_wav(wav_path, wav, 44100)
+    wav_to_x3a(wav_path, x3a_path)
+    data = bytearray(x3a_path.read_bytes())
+    data[-10] ^= 0xFF  # corrupt last frame's payload
+    x3a_path.write_bytes(bytes(data))
+    with pytest.raises(FrameHeaderInvalidPayloadCRC):
+        x3a_to_wav(x3a_path, tmp_path / "back.wav")
+
+
+def test_resync_skips_corrupt_frame(tmp_path, rng):
+    wav = make_hydrophone(rng, 30_000)  # 3 frames
+    wav_path = tmp_path / "in.wav"
+    x3a_path = tmp_path / "out.x3a"
+    write_wav(wav_path, wav, 44100)
+    wav_to_x3a(wav_path, x3a_path)
+    data = bytearray(x3a_path.read_bytes())
+    # Corrupt the middle frame's payload.
+    hdr = archive.parse_archive_header(bytes(data))[1]
+    index = list(archive.walk_frames(bytes(data), hdr))
+    off1, h1 = index[1]
+    data[off1 + 5] ^= 0xFF
+    x3a_path.write_bytes(bytes(data))
+    errors = x3a_to_wav(x3a_path, tmp_path / "back.wav", resync=True)
+    assert errors == 1
+    got, _ = read_wav(tmp_path / "back.wav")
+    np.testing.assert_array_equal(got, np.concatenate([wav[:10_000], wav[20_000:]]))
+
+
+def test_find_sync(rng):
+    wav = make_hydrophone(rng, 5000)
+    from x3_tpu.models import oracle
+
+    frame = oracle.encode(wav, Parameters())
+    data = b"\x99" * 137 + frame
+    assert archive.find_sync(data, 0) == 137
+
+
+def test_cli_roundtrip(tmp_path, rng):
+    wav = make_hydrophone(rng, 15_000)
+    wav_path = tmp_path / "in.wav"
+    x3a_path = tmp_path / "out.x3a"
+    back_path = tmp_path / "back.wav"
+    write_wav(wav_path, wav, 44100)
+    env = {
+        "JAX_PLATFORMS": "cpu",
+        "PYTHONPATH": str(REPO_ROOT),
+        "PATH": "/usr/bin:/bin:/usr/local/bin",
+        "JAX_COMPILATION_CACHE_DIR": "/tmp/x3_tpu_jax_cache",
+        "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS": "1",
+    }
+    r1 = subprocess.run(
+        [sys.executable, "-m", "x3_tpu", "--input", str(wav_path), "--output", str(x3a_path)],
+        capture_output=True, text=True, env=env,
+    )
+    assert r1.returncode == 0, r1.stderr
+    assert "Statistics:" in r1.stdout
+    r2 = subprocess.run(
+        [sys.executable, "-m", "x3_tpu", "-i", str(x3a_path), "-o", str(back_path)],
+        capture_output=True, text=True, env=env,
+    )
+    assert r2.returncode == 0, r2.stderr
+    assert "sample rate: 44100" in r2.stdout
+    got, _ = read_wav(back_path)
+    np.testing.assert_array_equal(got, wav)
+    # Same-type in/out must fail (bin/x3.rs:74-76).
+    r3 = subprocess.run(
+        [sys.executable, "-m", "x3_tpu", "-i", str(wav_path), "-o", str(wav_path)],
+        capture_output=True, text=True, env=env,
+    )
+    assert r3.returncode != 0
+
+
+def test_wav_to_str(tmp_path):
+    wav = np.arange(-8, 28, dtype=np.int16)
+    path = tmp_path / "t.wav"
+    write_wav(path, wav, 22050)
+    from x3_tpu import wav_to_str
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        wav_to_str.main(["--wav", str(path)])
+    lines = buf.getvalue().splitlines()
+    assert lines[0] == "bits_per_sample: 16"
+    assert lines[1] == "channels: 1"
+    assert lines[2] == "sample_rate: 22050"
+    assert lines[3].split() == [str(v) for v in wav[:16]]
+    assert lines[4].split() == [str(v) for v in wav[16:32]]

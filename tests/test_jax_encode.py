@@ -62,3 +62,32 @@ def test_jax_encode_empty():
 def test_numpy_engine_matches():
     wav = np.arange(-500, 500, dtype=np.int16)
     assert encode(wav, P, engine="numpy").data == oracle.encode(wav, P)
+
+
+def test_pack_modes_agree(rng):
+    """block-buffer pack vs segment-sum pack: identical words on tough input."""
+    from x3_tpu.ops.encode_kernel import encode_frames
+
+    wav = make_mixed(rng, 40_000)
+    frames = wav[: 40_000 - (40_000 % 10_000)].reshape(-1, 10_000)
+    nv = np.full(frames.shape[0], 10_000, np.int32)
+    a = encode_frames(frames, nv, P, "block")
+    b = encode_frames(frames, nv, P, "segment")
+    np.testing.assert_array_equal(np.asarray(a["payload_words"]), np.asarray(b["payload_words"]))
+    np.testing.assert_array_equal(np.asarray(a["nbytes"]), np.asarray(b["nbytes"]))
+    np.testing.assert_array_equal(np.asarray(a["crc"]), np.asarray(b["crc"]))
+
+
+def test_rice_closed_form_matches_tables():
+    """Closed-form rice codes equal the normative tables at every index."""
+    import jax.numpy as jnp
+
+    from x3_tpu.constants import RICE_CODES
+    from x3_tpu.ops.encode_kernel import rice_code_closed_form
+
+    for order, rc in enumerate(RICE_CODES):
+        n = len(rc.code)
+        d = np.arange(n) - rc.offset
+        code, bits = rice_code_closed_form(jnp.asarray(d), order)
+        np.testing.assert_array_equal(np.asarray(code), rc.code, err_msg=f"code order {order}")
+        np.testing.assert_array_equal(np.asarray(bits), rc.num_bits, err_msg=f"bits order {order}")

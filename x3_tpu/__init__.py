@@ -1,0 +1,48 @@
+"""x3_tpu — TPU-native X3 lossless audio codec.
+
+A brand-new JAX/XLA implementation of the X3 codec (Shorten-style lossless
+compression for low-entropy audio) with the same capabilities and bit-exact
+on-the-wire format as the Rust reference `psiphi75/x3-rust`:
+
+* `wav_to_x3a` / `x3a_to_wav` / `X3aReader` — file API (files.py)
+* `encode` / `decode_frame` — array API (models/encoder.py, models/decoder.py)
+* `python -m x3_tpu` — CLI (cli.py)
+
+The compute path is redesigned TPU-first: encode is batched tensor math over
+[frames, blocks, samples] with prefix-sum bit packing; decode is
+frame-parallel with branch-free per-sample steps; CRC16 runs as a GF(2)
+matmul on the MXU.  See SURVEY.md for the full design rationale.
+"""
+
+from .params import Parameters, X3aSpec
+from .errors import X3Error
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Parameters",
+    "X3aSpec",
+    "X3Error",
+    "encode",
+    "decode_frame",
+    "wav_to_x3a",
+    "x3a_to_wav",
+    "X3aReader",
+]
+
+
+def __getattr__(name):
+    # Lazy imports keep `import x3_tpu` light (no jax import until needed).
+    if name in ("wav_to_x3a", "x3a_to_wav", "X3aReader"):
+        from . import files
+
+        return getattr(files, name)
+    if name == "encode":
+        from .models.encoder import encode
+
+        return encode
+    if name == "decode_frame":
+        from .models.decoder import decode_frame
+
+        return decode_frame
+    raise AttributeError(name)

@@ -1,0 +1,146 @@
+"""Archive container: header build/parse, frame indexing, sync-word rescue.
+
+Covers the reference's container responsibilities (encodefile.rs:82-138,
+decodefile.rs:142-176) plus the dormant frame-resync scanner the reference
+carries as dead code (bytereader.rs:62-79) — here implemented as a vectorized
+search so corrupt frames can be skipped rather than aborting the decode."""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from . import constants
+from .errors import (
+    ArchiveHeaderXMLInvalidKey,
+    FrameDecodeUnexpectedEnd,
+    FrameHeaderInvalidHeaderCRC,
+    FrameHeaderInvalidKey,
+    FrameLength,
+    MoreThanOneChannel,
+)
+from .models.oracle import write_frame_header
+from .ops.crc import crc16, crc16_many
+from .params import Parameters, X3aSpec
+from .utils.xmlmeta import build_xml, parse_xml
+
+
+@dataclasses.dataclass
+class FrameHeader:
+    source_id: int
+    channels: int
+    samples: int
+    payload_len: int
+    payload_crc: int
+
+
+def read_frame_header(data: bytes, validate: bool = True) -> FrameHeader:
+    """Parse and validate a 20-byte frame header (decoder.rs:69-118)."""
+    if len(data) < constants.FRAME_HEADER_LENGTH:
+        raise FrameDecodeUnexpectedEnd(f"{len(data)} bytes < header length")
+    if validate:
+        expected = int.from_bytes(data[16:18], "big")
+        if crc16(data[0:16]) != expected:
+            raise FrameHeaderInvalidHeaderCRC("frame header CRC mismatch")
+    if data[0:2] != constants.FRAME_KEY_BYTES:
+        raise FrameHeaderInvalidKey(f"bad frame key {data[0:2]!r}")
+    channels = data[constants.P_CHANNELS]
+    if channels > 1:
+        raise MoreThanOneChannel(f"{channels} channels")
+    payload_len = int.from_bytes(data[6:8], "big")
+    if payload_len >= constants.FRAME_MAX_LENGTH:
+        raise FrameLength(f"payload {payload_len} >= {constants.FRAME_MAX_LENGTH}")
+    return FrameHeader(
+        source_id=data[constants.P_SOURCE_ID],
+        channels=channels,
+        samples=int.from_bytes(data[4:6], "big"),
+        payload_len=payload_len,
+        payload_crc=int.from_bytes(data[18:20], "big"),
+    )
+
+
+def build_archive_header(sample_rate: int, params: Parameters) -> bytes:
+    """'X3ARCHIV' magic, pseudo frame header (samples=0, id=0), XML metadata
+    padded to even length (encodefile.rs:82-138)."""
+    xml = build_xml(sample_rate, params)
+    payload = xml + (b"\x00" if len(xml) % 2 else b"")
+    header = write_frame_header(0, 0, len(payload), crc16(payload))
+    return constants.ARCHIVE_ID + header + payload
+
+
+def parse_archive_header(data: bytes) -> tuple[X3aSpec, int]:
+    """Parse the archive header; returns (spec, total header size in bytes)."""
+    if data[: constants.ARCHIVE_ID_LEN] != constants.ARCHIVE_ID:
+        raise ArchiveHeaderXMLInvalidKey(f"bad magic {data[:8]!r}")
+    pos = constants.ARCHIVE_ID_LEN
+    header = read_frame_header(data[pos : pos + constants.FRAME_HEADER_LENGTH])
+    pos += constants.FRAME_HEADER_LENGTH
+    xml_payload = data[pos : pos + header.payload_len]
+    sample_rate, params = parse_xml(xml_payload)
+    spec = X3aSpec(sample_rate=sample_rate, params=params, channels=header.channels)
+    return spec, pos + header.payload_len
+
+
+def walk_frames(data: bytes, start: int, resync: bool = False):
+    """Sequentially index frames: yields (payload_offset, FrameHeader).
+
+    Stops when fewer than a header's worth of bytes remain
+    (decodefile.rs:107-109).  With resync=True, a bad header triggers a
+    sync-word scan to the next plausible frame instead of stopping."""
+    pos = start
+    n = len(data)
+    while n - pos > constants.FRAME_HEADER_LENGTH:
+        try:
+            header = read_frame_header(data[pos : pos + constants.FRAME_HEADER_LENGTH])
+        except Exception:
+            if not resync:
+                return
+            nxt = find_sync(data, pos + 1)
+            if nxt < 0:
+                return
+            pos = nxt
+            continue
+        payload_off = pos + constants.FRAME_HEADER_LENGTH
+        if n - payload_off < header.payload_len:
+            return
+        yield payload_off, header
+        pos = payload_off + header.payload_len
+
+
+def find_sync(data: bytes, start: int) -> int:
+    """Vectorized scan for the next byte offset whose bytes look like a valid
+    frame header ('x3' key + valid header CRC).  TPU-era replacement for the
+    reference's dormant find_le_u16 scanner (bytereader.rs:62-79)."""
+    arr = np.frombuffer(data, dtype=np.uint8)
+    n = len(arr)
+    if n - start < constants.FRAME_HEADER_LENGTH:
+        return -1
+    window = arr[start:]
+    cand = np.nonzero((window[:-1] == 0x78) & (window[1:] == 0x33))[0] + start
+    cand = cand[cand + constants.FRAME_HEADER_LENGTH <= n]
+    if len(cand) == 0:
+        return -1
+    # Validate header CRCs of all candidates at once.
+    rows = np.stack([arr[c : c + 16] for c in cand])
+    crcs = crc16_many(rows, np.full(len(cand), 16))
+    stored = (arr[cand + 16].astype(np.uint16) << 8) | arr[cand + 17]
+    ok = np.nonzero(crcs == stored)[0]
+    return int(cand[ok[0]]) if len(ok) else -1
+
+
+def verify_payload_crcs(data: bytes, index: list) -> np.ndarray:
+    """Batched payload CRC check for an entire frame index.  Returns a bool
+    array, True where the payload CRC matches (decodefile.rs:93-103)."""
+    if not index:
+        return np.zeros(0, bool)
+    max_len = max(h.payload_len for _, h in index)
+    arr = np.frombuffer(data, dtype=np.uint8)
+    rows = np.zeros((len(index), max_len), dtype=np.uint8)
+    lens = np.zeros(len(index), dtype=np.int64)
+    want = np.zeros(len(index), dtype=np.uint16)
+    for i, (off, h) in enumerate(index):
+        rows[i, : h.payload_len] = arr[off : off + h.payload_len]
+        lens[i] = h.payload_len
+        want[i] = h.payload_crc
+    return crc16_many(rows, lens) == want

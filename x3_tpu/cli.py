@@ -1,0 +1,52 @@
+"""Command-line interface (parity: /root/reference/src/bin/x3.rs:43-82).
+
+    python -m x3_tpu --input FILE --output FILE
+
+dispatches on the .wav / .x3a extensions; input and output must differ in
+type.  Extras over the reference: --engine, --resync, --quiet."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from .files import wav_to_x3a, x3a_to_wav
+from .params import Parameters
+
+
+def get_filetype(filename: str) -> str:
+    if filename.endswith(".x3a"):
+        return "x3a"
+    if filename.endswith(".wav"):
+        return "wav"
+    raise SystemExit(f"Invalid audio file, expecting a '.wav' or '.x3a' file: {filename}")
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="x3",
+        description="x3 - efficient lossless compression for low entropy audio wav files.",
+    )
+    parser.add_argument("-i", "--input", metavar="FILE", required=True, help="The input file, a .wav or .x3a file")
+    parser.add_argument("-o", "--output", metavar="FILE", required=True, help="The output file, a .wav or .x3a file")
+    parser.add_argument("--engine", choices=["jax", "numpy"], default="jax", help="compute engine (default: jax)")
+    parser.add_argument("--resync", action="store_true", help="skip corrupt frames instead of stopping at the first")
+    parser.add_argument("-q", "--quiet", action="store_true", help="suppress statistics output")
+    parser.add_argument("--block-len", type=int, default=None, help="encode block length (default 20)")
+    args = parser.parse_args(argv)
+
+    in_type = get_filetype(args.input)
+    out_type = get_filetype(args.output)
+    if in_type == out_type:
+        raise SystemExit("Input must be different file type than output.")
+
+    if in_type == "wav":
+        params = Parameters(block_len=args.block_len) if args.block_len else Parameters()
+        wav_to_x3a(args.input, args.output, params=params, engine=args.engine, verbose=not args.quiet)
+    else:
+        x3a_to_wav(args.input, args.output, engine=args.engine, verbose=not args.quiet, resync=args.resync)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

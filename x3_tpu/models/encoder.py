@@ -110,7 +110,8 @@ def encode(
             batch[i, : len(chunk)] = chunk
             n_valid[i] = len(chunk)
         res = encode_frames(batch, n_valid, params)
-        payload = np.asarray(res["payload"])
+        words = np.ascontiguousarray(res["payload_words"])
+        payload = words.byteswap().view(np.uint8)  # big-endian bytes, zero-copy-ish
         nbytes = np.asarray(res["nbytes"])
         crc = np.asarray(res["crc"])
         stats += np.asarray(res["stats"])[:f_batch].sum(axis=0, dtype=np.int64)

@@ -114,8 +114,25 @@ def crc16_padded_jax(byte_rows, lengths, n_bytes: int):
     length.  Returns uint16-valued int32 [F]."""
     import jax.numpy as jnp
 
-    m, const_init, inv_pows = crc_matmul_consts(n_bytes)
     bits = jnp.unpackbits(byte_rows, axis=1).astype(jnp.int8)  # [F, n_bytes*8]
+    return _crc16_from_bits(bits, lengths, n_bytes)
+
+
+def crc16_words_jax(word_rows, lengths, n_words: int):
+    """Same as crc16_padded_jax but over big-endian u32 word rows [F, W]
+    (the packed payload), avoiding a device-side byte expansion."""
+    import jax.numpy as jnp
+
+    shifts = jnp.arange(31, -1, -1, dtype=jnp.uint32)
+    bits = ((word_rows[:, :, None] >> shifts) & 1).astype(jnp.int8)
+    bits = bits.reshape(word_rows.shape[0], n_words * 32)
+    return _crc16_from_bits(bits, lengths, n_words * 4)
+
+
+def _crc16_from_bits(bits, lengths, n_bytes: int):
+    import jax.numpy as jnp
+
+    m, const_init, inv_pows = crc_matmul_consts(n_bytes)
     planes = jnp.matmul(bits, jnp.asarray(m), preferred_element_type=jnp.int32) & 1
     weights = (1 << jnp.arange(16, dtype=jnp.int32))[None, :]
     crc = jnp.sum(planes * weights, axis=1).astype(jnp.int32) ^ const_init

@@ -9,12 +9,13 @@ payload (SURVEY.md §5 "checkpoint/resume") — so the frame axis is the
 parallel axis: all lanes of a [F] batch step through their bitstreams in
 lockstep, every per-sample operation a branch-free vector op across frames.
 
-Per sample the kernel gathers a 32-bit window at the current bit offset,
-decodes all three block types simultaneously (unary zero count via clz +
-suffix for Rice, fixed-width fields for BFP/pass-through), selects with
-masks, and advances each lane's offset by the consumed length.  A full
-10,000-sample frame is 500 `fori_loop` block iterations with a 20-step
-unrolled inner body.
+Fusion-friendly structure: a block consumes at most 6 + 20*16 = 326 bits, so
+each `lax.scan` step gathers ONE 12-word window per lane (the only gather),
+then decodes the whole block from that window with pure elementwise ops —
+unary zero counts via clz, Rice suffix extraction, fixed-width BFP fields —
+selected by masks.  Block outputs stack via scan ys; flattening them yields
+the sample stream directly because every block occupies exactly `block_len`
+slots.
 """
 
 from __future__ import annotations
@@ -29,20 +30,29 @@ from .. import constants
 from ..params import Parameters
 from .encode_kernel import frame_geometry
 
+WIN_WORDS = 12  # 31 (start skew) + 326 (max block bits) <= 384 bits
+
 
 def _decode_tables(params: Parameters):
-    """Per-ftype (1..3) nsubs, inv_len; shared 60-entry inverse table."""
+    """Per-ftype (1..3) nsubs and inv_len from the selected Rice codes."""
     nsubs = np.zeros(4, dtype=np.int32)
     invlen = np.zeros(4, dtype=np.int32)
     for f in (1, 2, 3):
         rc = params.rice_codes[f - 1]
         nsubs[f] = rc.nsubs
         invlen[f] = rc.inv_len
-    return nsubs, invlen, constants.INV_RICE_CODE.astype(np.int32)
+    return nsubs, invlen
 
 
 def _wrap16(v):
     return ((v + 0x8000) & 0xFFFF) - 0x8000
+
+
+def _inv_rice(i):
+    """Closed form of the shared inverse Rice table 0,-1,1,-2,2,...
+    (x3.rs:200-204): inv(i) = (i+1)>>1 negated when i is odd."""
+    half = (i + 1) >> 1
+    return jnp.where((i & 1) == 1, -half, half)
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
@@ -54,89 +64,97 @@ def decode_frames(payload: jax.Array, n_samples: jax.Array, params: Parameters):
     Returns (samples int16 [F, S], err bool [F])."""
     S, B, L, W = frame_geometry(params)
     F = payload.shape[0]
-    nsubs_np, invlen_np, inv_np = _decode_tables(params)
-    nsubs_t = jnp.asarray(nsubs_np)
-    invlen_t = jnp.asarray(invlen_np)
-    inv_t = jnp.asarray(inv_np)
+    nsubs_np, invlen_np = _decode_tables(params)
 
     by = payload.astype(jnp.uint32).reshape(F, W, 4)
     words = (by[:, :, 0] << 24) | (by[:, :, 1] << 16) | (by[:, :, 2] << 8) | by[:, :, 3]
 
     n = n_samples.astype(jnp.int32)
-    first = ((words[:, 0] >> 16) & 0xFFFF).astype(jnp.int32)
-    first = _wrap16(first)
+    first = _wrap16(((words[:, 0] >> 16) & 0xFFFF).astype(jnp.int32))
 
-    def window32(off):
-        """32-bit big-endian window starting at bit `off` (per frame)."""
-        wi = (off >> 5).astype(jnp.int32)
-        w0 = jnp.take_along_axis(words, jnp.clip(wi, 0, W - 1)[:, None], axis=1)[:, 0]
-        w1 = jnp.take_along_axis(words, jnp.clip(wi + 1, 0, W - 1)[:, None], axis=1)[:, 0]
-        sh = (off & 31).astype(jnp.uint32)
-        return (w0 << sh) | ((w1 >> (31 - sh)) >> 1)
+    win_iota = jnp.arange(WIN_WORDS, dtype=jnp.int32)[None, :]  # [1, 12]
 
-    out0 = jnp.zeros((F, S + L), jnp.int32)
+    def extract32(win, rel):
+        """32-bit big-endian window at in-window bit offset rel (elementwise:
+        WIN_WORDS-way select instead of a gather)."""
+        q = rel >> 5
+        r = (rel & 31).astype(jnp.uint32)
+        w0 = jnp.zeros_like(win[:, 0])
+        w1 = jnp.zeros_like(win[:, 0])
+        for i in range(WIN_WORDS):
+            w0 = jnp.where(q == i, win[:, i], w0)
+            w1 = jnp.where(q + 1 == i, win[:, i], w1)
+        return (w0 << r) | ((w1 >> (31 - r)) >> 1)
 
-    def block_body(b, carry):
-        off, last, out, err = carry
+    def block_body(carry, b):
+        off, last, err = carry
         block_first = 1 + b * L
         valid_block = block_first < n
 
-        win = window32(off)
-        ftype = (win >> 30).astype(jnp.int32)
-        dec_nb = ((win >> 26) & 0xF).astype(jnp.int32) + 1
+        # One gather per block: the 12-word window covering the whole block.
+        sw = jnp.clip(off >> 5, 0, W - WIN_WORDS)
+        win = jnp.take_along_axis(words, sw[:, None] + win_iota, axis=1)  # [F, 12]
+        rel = off - (sw << 5)  # in-window bit offset (0..31 at block start)
+
+        hdr = extract32(win, rel)
+        ftype = (hdr >> 30).astype(jnp.int32)
+        dec_nb = ((hdr >> 26) & 0xF).astype(jnp.int32) + 1
         is_hdr0 = ftype == 0
         is_pass = is_hdr0 & (dec_nb == 16)
-        is_bfp = is_hdr0 & (dec_nb != 16)
-        err = err | (valid_block & is_bfp & (dec_nb <= 5))
-        hdr_bits = jnp.where(is_hdr0, constants.BFP_HDR_LEN, constants.RICE_HDR_LEN)
-        off = off + jnp.where(valid_block, hdr_bits, 0)
+        err = err | (valid_block & is_hdr0 & (dec_nb <= 5))
+        rel = rel + jnp.where(is_hdr0, constants.BFP_HDR_LEN, constants.RICE_HDR_LEN)
 
-        nsubs_f = nsubs_t[ftype]
-        invlen_f = invlen_t[ftype]
+        # Per-ftype constants via small selects (params are static).
+        nsubs_f = jnp.where(ftype == 2, int(nsubs_np[2]), int(nsubs_np[3]))
+        invlen_f = jnp.where(
+            ftype == 1, int(invlen_np[1]), jnp.where(ftype == 2, int(invlen_np[2]), int(invlen_np[3]))
+        )
         level = (1 << nsubs_f).astype(jnp.int32)
         nbsuf = jnp.where(ftype == 2, 2, 4)  # decoder.rs:180 quirk: hardwired
+        dec_nb_u = jnp.clip(dec_nb, 1, 31).astype(jnp.uint32)
+        neg_thresh = 1 << jnp.clip(dec_nb - 1, 0, 30)
 
-        blk = jnp.zeros((F, L), jnp.int32)
+        outs = []
         for k in range(L):
             valid = valid_block & ((block_first + k) < n)
-            win = window32(off)
-            zeros = jax.lax.clz(win).astype(jnp.int32)
+            win32 = extract32(win, rel)
+            zeros = jax.lax.clz(win32).astype(jnp.int32)
             zc = jnp.clip(zeros, 0, 31).astype(jnp.uint32)
 
-            # Rice ftype 1: unary index, skip stop bit (decoder.rs:147-170)
-            idx_r1 = zeros
-            consume_r1 = zeros + 1
-            # Rice ftype 2/3: unary + nb-bit suffix (decoder.rs:172-196)
-            suffix = ((win << zc) >> (32 - nbsuf.astype(jnp.uint32))).astype(jnp.int32)
-            idx_r23 = suffix + level * (zeros - 1)
-            consume_r23 = zeros + nbsuf
-            # BFP / pass-through: fixed dec_nb-bit field (decoder.rs:209-235)
-            a = (win >> (32 - jnp.clip(dec_nb, 1, 31)).astype(jnp.uint32)).astype(jnp.int32)
-            neg_thresh = 1 << jnp.clip(dec_nb - 1, 0, 30)
-            delta_bfp = a - jnp.where(a > neg_thresh, neg_thresh * 2, 0)
-            v_pass = _wrap16((win >> 16).astype(jnp.int32))
-
+            # Rice ftype 1: unary index + stop bit (decoder.rs:147-170)
+            # Rice ftype 2/3: unary + suffix (decoder.rs:172-196)
+            suffix = ((win32 << zc) >> (32 - nbsuf.astype(jnp.uint32))).astype(jnp.int32)
+            idx = jnp.where(ftype == 1, zeros, suffix + level * (zeros - 1))
             is_rice = ftype >= 1
-            idx = jnp.where(ftype == 1, idx_r1, idx_r23)
             err = err | (valid & is_rice & ((idx < 0) | (idx >= invlen_f)))
-            delta_rice = inv_t[jnp.clip(idx, 0, 59)]
+            delta_rice = _inv_rice(jnp.clip(idx, 0, 59))
+
+            # BFP / pass-through: fixed dec_nb-bit field (decoder.rs:209-235)
+            a = (win32 >> (32 - dec_nb_u)).astype(jnp.int32)
+            delta_bfp = a - jnp.where(a > neg_thresh, neg_thresh * 2, 0)
+            v_pass = _wrap16((win32 >> 16).astype(jnp.int32))
 
             delta = jnp.where(is_rice, delta_rice, delta_bfp)
             new = jnp.where(is_pass, v_pass, _wrap16(last + delta))
             consume = jnp.where(
-                ftype == 1, consume_r1, jnp.where(is_rice, consume_r23, dec_nb)
+                ftype == 1, zeros + 1, jnp.where(is_rice, zeros + nbsuf, dec_nb)
             )
-            off = off + jnp.where(valid, consume, 0)
+            rel = rel + jnp.where(valid, consume, 0)
             last = jnp.where(valid, new, last)
-            blk = blk.at[:, k].set(new)
+            outs.append(new)
 
-        out = jax.lax.dynamic_update_slice(out, blk, (0, block_first))
-        return off, last, out, err
+        off = (sw << 5) + rel
+        blk = jnp.stack(outs, axis=1)  # [F, L]
+        return (off, last, err), blk
 
-    off0 = jnp.full((F,), 16, jnp.int32)  # bitstream starts after raw sample
-    err0 = jnp.zeros((F,), bool)
-    off, last, out, err = jax.lax.fori_loop(0, B, block_body, (off0, first, out0, err0))
-    out = out.at[:, 0].set(first)
-    # Reading past the payload means a corrupt stream length.
+    off0 = n * 0 + 16  # bitstream starts after the raw first sample
+    err0 = n < 0
+    (off, last, err), blocks = jax.lax.scan(
+        block_body, (off0, first, err0), jnp.arange(B, dtype=jnp.int32)
+    )
+    # blocks: [B, F, L] -> sample stream [F, B*L]; slot b*L+k is sample
+    # 1 + b*L + k, so prepending the raw first sample gives the frame.
+    flat = jnp.transpose(blocks, (1, 0, 2)).reshape(F, B * L)
+    out = jnp.concatenate([first[:, None], flat[:, : S - 1]], axis=1)
     err = err | (off > jnp.int32(W * 32))
-    return out[:, :S].astype(jnp.int16), err
+    return out.astype(jnp.int16), err

@@ -8,14 +8,16 @@ programs over a [F, S] batch of frames (SURVEY.md §7):
 1. first-order diff — one subtraction over the frame;
 2. per-block (20-sample) masked max-|diff| reductions select Rice/BFP/literal
    exactly like x3_encode_block (encoder.rs:289-315);
-3. per-sample (value, nbits) are table gathers from the Rice code tables —
-   writing `code` in `num_bits` total bits reproduces the reference's
-   zeros+code split exactly;
-4. an exclusive prefix sum of all item bit lengths yields every item's
-   absolute bit offset (this replaces the BitPacker state machine);
-5. items are scattered into big-endian u32 words with a disjoint-bit
-   segment-sum (sum == OR because contributions never overlap);
-6. payload CRC16 runs as an MXU matmul (ops/crc_jax.py).
+3. per-sample (value, nbits) come from closed-form arithmetic identities of
+   the Rice code tables (no gathers) — writing `code` in `num_bits` total
+   bits reproduces the reference's zeros+code split exactly;
+4. exclusive prefix sums of item bit lengths yield every item's bit offset
+   (this replaces the BitPacker state machine);
+5. packing is two-level and gather/scatter-free on the hot path: each block's
+   bits go into a 12-word buffer with elementwise select-accumulates, and
+   buffers are compacted into the frame's word stream ON THE MXU via a
+   one-hot byte-plane matmul (bit-disjoint contributions make + == |);
+6. payload CRC16 runs as a GF(2) matmul on the MXU (ops/crc_jax.py).
 
 Everything runs under one jit; frame sizes vary via a per-frame valid-sample
 count (static shapes, masked lanes).
@@ -31,7 +33,7 @@ import numpy as np
 
 from .. import constants
 from ..params import Parameters
-from .crc_jax import crc16_padded_jax
+from .crc_jax import crc16_words_jax
 
 # Statistics slot mapping for Rice blocks: slot = nsubs of the selected code
 # (encoder.rs:266); BFP -> 4, pass-through -> 5.
@@ -53,6 +55,30 @@ def _rice_tables_np(params: Parameters):
     return codes, bits, offsets, nsubs
 
 
+def rice_code_closed_form(d, order: int):
+    """Closed-form Rice (code value, total bits) for a diff `d` under rice
+    order `order` — arithmetic identities of the static tables in x3.rs:207-252
+    (verified exhaustively against them in tests), replacing per-sample table
+    gathers with elementwise VPU ops.
+
+    order 0:   code = 1,  bits = 2|d| + [d >= 0]
+    order k>0: e = d if d >= 0 else -d-1
+               bits = (k+1) + (e >> (k-1))
+               code = 2^k | ((d & (2^(k-1)-1)) << 1)          if d >= 0
+                      (2^(k+1)-1) - ((d & (2^(k-1)-1)) << 1)  if d <  0
+    """
+    if order == 0:
+        bits = 2 * jnp.abs(d) + jnp.where(d >= 0, 1, 0)
+        code = jnp.ones_like(d)
+        return code, bits
+    k = order
+    e = jnp.where(d >= 0, d, -d - 1)
+    bits = (k + 1) + (e >> (k - 1))
+    low = (d & ((1 << (k - 1)) - 1)) << 1
+    code = jnp.where(d >= 0, (1 << k) | low, ((1 << (k + 1)) - 1) - low)
+    return code, bits
+
+
 def frame_geometry(params: Parameters):
     """Static sizes for the [F, S] pipeline."""
     S = params.samples_per_frame
@@ -68,8 +94,103 @@ def frame_geometry(params: Parameters):
     return S, B, L, n_words
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def encode_frames(samples: jax.Array, n_valid: jax.Array, params: Parameters):
+def _pack_segment_sum(item_val, item_len, W: int):
+    """Reference pack: each item contributes to <= 2 words; disjoint-bit
+    contributions are combined with one big segment-sum scatter.  Correct but
+    scatter-bound on TPU — kept as the differential oracle for the fast
+    block-buffer pack below."""
+    F, M = item_val.shape
+    ends = jnp.cumsum(item_len, axis=1)
+    off = ends - item_len  # exclusive prefix sum = absolute bit offsets
+    total_bits = ends[:, -1]
+
+    word = (off >> 5).astype(jnp.int32)
+    sh = 32 - (off & 31) - item_len  # left shift if >=0, else straddles words
+    shl = jnp.clip(sh, 0, 31).astype(jnp.uint32)
+    shr = jnp.clip(-sh, 0, 31).astype(jnp.uint32)
+    hi = jnp.where(sh >= 0, item_val << shl, item_val >> shr)
+    lo = jnp.where(sh < 0, item_val << (32 - shr), jnp.uint32(0))
+
+    frame_base = jnp.arange(F, dtype=jnp.int32)[:, None] * (W + 1)
+    data = jnp.concatenate([hi.reshape(-1), lo.reshape(-1)])
+    segs = jnp.concatenate([(frame_base + word).reshape(-1), (frame_base + word + 1).reshape(-1)])
+    words = jax.ops.segment_sum(data, segs, num_segments=F * (W + 1))
+    return words.reshape(F, W + 1)[:, :W], total_bits.astype(jnp.int32)
+
+
+def _pack_block_buffers(item_val, item_len, W: int):
+    """Two-level TPU-native bit pack (no large scatters).
+
+    item_val/item_len: uint32/int32 [F, B, I] — per-block item streams (slot 0
+    is the frame's raw first sample, nonzero only for block 0).
+
+    Level 1 packs each block's <=373 bits into a 12-word buffer, pre-shifted
+    by the block's global (offset & 31) — all purely elementwise over [F, B]
+    lanes.  Level 2 merges buffers into the frame's word stream using the
+    span structure: every block >= 22 bits, so each output word receives the
+    first words of blocks starting in it (one tiny B-sized scatter whose
+    contributions are bit-disjoint) plus the continuation of the single last
+    block that started strictly earlier (a dense gather via a run-length
+    ownership map).  Returns (words uint32 [F, W], total_bits int32 [F]).
+    """
+    F, B, I = item_val.shape
+    NW = 12  # 342 item bits + 31 shift <= 384 = 12 words
+
+    ends_in = jnp.cumsum(item_len, axis=2)
+    block_bits = ends_in[:, :, -1]  # [F, B]
+    poff_in = ends_in - item_len  # exclusive, within block
+    block_end = jnp.cumsum(block_bits, axis=1)
+    block_off = block_end - block_bits  # global bit offset of block start
+    total_bits = block_end[:, -1]
+
+    r = (block_off & 31)[:, :, None]
+    poff = poff_in + r
+    t = (poff >> 5).astype(jnp.int32)  # target word within buffer, 0..11
+    sh = 32 - (poff & 31) - item_len
+    shl = jnp.clip(sh, 0, 31).astype(jnp.uint32)
+    shr = jnp.clip(-sh, 0, 31).astype(jnp.uint32)
+    hi = jnp.where(sh >= 0, item_val << shl, item_val >> shr)
+    lo = jnp.where(sh < 0, item_val << (32 - shr), jnp.uint32(0))
+
+    # Elementwise 12-way select-accumulate: buffer[w] = sum of item pieces
+    # targeted at w (bit-disjoint, so + == |).
+    buf = []
+    for w in range(NW):
+        acc = jnp.sum(jnp.where(t == w, hi, jnp.uint32(0)), axis=2)
+        acc = acc + jnp.sum(jnp.where(t + 1 == w, lo, jnp.uint32(0)), axis=2)
+        buf.append(acc)
+    buf = jnp.stack(buf, axis=2)  # [F, B, 12]
+
+    # Merge buffers into the frame stream ON THE MXU: placing block rows at
+    # their (monotone) start words is a compaction, i.e. a one-hot matmul.
+    # Buffer words are split into int8 byte planes (exact in int32
+    # accumulation; contributions to any output word are bit-disjoint so
+    # + == |), contracted against the one-hot start-word matrix, then the 12
+    # buffer columns are realigned with static shifted adds:
+    # out[w] = sum_k placed[w-k][k].
+    s = (block_off >> 5).astype(jnp.int32)  # block start word, monotone
+    WP = W + NW
+    b8 = jnp.stack(
+        [(buf >> 24) & 0xFF, (buf >> 16) & 0xFF, (buf >> 8) & 0xFF, buf & 0xFF], axis=3
+    ).astype(jnp.int8).reshape(F, B, NW * 4)
+    wi = jax.lax.broadcasted_iota(jnp.int32, (F, B, WP), 2)
+    onehot = (wi == jnp.clip(s, 0, WP - 1)[:, :, None]).astype(jnp.int8)
+    placed = jax.lax.dot_general(
+        onehot, b8, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.int32
+    ).reshape(F, WP, NW, 4)
+    # int8 planes are signed, but disjoint-bit sums are exact mod 256 — the
+    # low 8 accumulator bits are the true byte, so mask before recombining.
+    placed = placed.astype(jnp.uint32) & 0xFF
+    pw = (placed[..., 0] << 24) | (placed[..., 1] << 16) | (placed[..., 2] << 8) | placed[..., 3]
+    words = pw[:, :W, 0]
+    for k in range(1, NW):
+        col = pw[:, : W - k, k]
+        words = words + jnp.concatenate([jnp.zeros((F, k), col.dtype), col], axis=1)
+    return words, total_bits.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def encode_frames(samples: jax.Array, n_valid: jax.Array, params: Parameters, pack_mode: str = "block"):
     """Encode a batch of frames.
 
     samples: int16/int32 [F, S] (payload samples, zero-padded past n_valid)
@@ -83,10 +204,7 @@ def encode_frames(samples: jax.Array, n_valid: jax.Array, params: Parameters):
     S, B, L, W = frame_geometry(params)
     F = samples.shape[0]
     t0, t1, t2 = params.thresholds
-    codes_np, bits_np, offsets_np, nsubs_np = _rice_tables_np(params)
-    ctab = jnp.asarray(codes_np)
-    btab = jnp.asarray(bits_np)
-    offs = jnp.asarray(offsets_np)
+    _, _, _, nsubs_np = _rice_tables_np(params)
     nsubs = jnp.asarray(nsubs_np)
 
     s = samples.astype(jnp.int32)
@@ -115,11 +233,14 @@ def encode_frames(samples: jax.Array, n_valid: jax.Array, params: Parameters):
     hdr_len = jnp.where(present, hdr_len, 0)
     hdr_val = jnp.where(present, hdr_val, 0)
 
-    # ---- per-sample (value, nbits) ----
-    rsel = jnp.clip(ftype_r, 0, 2)  # selected rice table when is_rice
-    flat_idx = jnp.clip(rsel[:, :, None] * 64 + db + offs[rsel][:, :, None], 0, 3 * 64 - 1)
-    rice_val = ctab.reshape(-1)[flat_idx]
-    rice_bits = btab.reshape(-1)[flat_idx]
+    # ---- per-sample (value, nbits): closed-form rice codes, no gathers ----
+    rsel = jnp.clip(ftype_r, 0, 2)[:, :, None]  # selected rice table when is_rice
+    rice_val = jnp.zeros_like(db)
+    rice_bits = jnp.zeros_like(db)
+    for slot, order in enumerate(params.codes):
+        c, bts = rice_code_closed_form(db, order)
+        rice_val = jnp.where(rsel == slot, c, rice_val)
+        rice_bits = jnp.where(rsel == slot, bts, rice_bits)
     bfp_bits = (nb + 1)[:, :, None]
     bfp_val = db & ((1 << jnp.minimum(bfp_bits, 31)) - 1)
     lit_val = sb & 0xFFFF
@@ -130,52 +251,35 @@ def encode_frames(samples: jax.Array, n_valid: jax.Array, params: Parameters):
     val = jnp.where(vb, val, 0)
 
     # ---- statistics (encoder.rs:63,266) ----
-    slot = jnp.where(is_rice, nsubs[rsel], jnp.where(is_literal, 5, 4))  # [F, B]
+    slot = jnp.where(is_rice, nsubs[rsel[:, :, 0]], jnp.where(is_literal, 5, 4))  # [F, B]
     cnt = jnp.sum(vb, axis=2)  # samples per block
     stats = jnp.zeros((F, 6), jnp.int32)
     onehot = (slot[:, :, None] == jnp.arange(6)[None, None, :]) & present[:, :, None]
     stats = jnp.sum(onehot * cnt[:, :, None], axis=1)
 
-    # ---- item stream: [first sample][hdr, 20 samples] x B ----
-    first_val = (s[:, 0] & 0xFFFF)[:, None]
-    first_len = jnp.where(n > 0, 16, 0)
-    blk_vals = jnp.concatenate([hdr_val[:, :, None], val], axis=2).reshape(F, B * (L + 1))
-    blk_lens = jnp.concatenate([hdr_len[:, :, None], ln], axis=2).reshape(F, B * (L + 1))
-    item_val = jnp.concatenate([first_val, blk_vals], axis=1).astype(jnp.uint32)  # [F, M]
-    item_len = jnp.concatenate([first_len, blk_lens], axis=1)  # [F, M]
-    M = item_val.shape[1]
+    # ---- item stream as [F, B, 22]: [first?][hdr][20 samples] per block ----
+    # Slot 0 carries the frame's raw 16-bit first sample in block 0 only.
+    first_val = jnp.zeros((F, B, 1), jnp.int32).at[:, 0, 0].set(s[:, 0] & 0xFFFF)
+    first_len = jnp.zeros((F, B, 1), jnp.int32).at[:, 0, 0].set(jnp.where(n_valid > 0, 16, 0))
+    item_val = jnp.concatenate([first_val, hdr_val[:, :, None], val], axis=2).astype(jnp.uint32)
+    item_len = jnp.concatenate([first_len, hdr_len[:, :, None], ln], axis=2)
 
-    # ---- prefix-sum bit offsets (replaces the BitPacker state machine) ----
-    ends = jnp.cumsum(item_len, axis=1)
-    off = ends - item_len  # exclusive prefix sum
-    total_bits = ends[:, -1]
+    if pack_mode == "block":
+        words, total_bits = _pack_block_buffers(item_val, item_len, W)
+    elif pack_mode == "segment":
+        words, total_bits = _pack_segment_sum(item_val.reshape(F, -1), item_len.reshape(F, -1), W)
+    else:
+        raise ValueError(f"unknown pack_mode {pack_mode!r}")
+
     nbytes = (total_bits + 7) // 8
     nbytes = nbytes + (nbytes & 1)  # word-align to 2 bytes (bitpacker.rs:124-132)
 
-    # ---- pack: disjoint-bit contributions into big-endian u32 words ----
-    word = (off >> 5).astype(jnp.int32)
-    sh = 32 - (off & 31) - item_len  # left shift if >=0, else straddles words
-    shl = jnp.clip(sh, 0, 31).astype(jnp.uint32)
-    shr = jnp.clip(-sh, 0, 31).astype(jnp.uint32)
-    hi = jnp.where(sh >= 0, item_val << shl, item_val >> shr)
-    lo = jnp.where(sh < 0, item_val << (32 - shr), jnp.uint32(0))
+    crc = crc16_words_jax(words, nbytes, W)
 
-    frame_base = jnp.arange(F, dtype=jnp.int32)[:, None] * (W + 1)
-    seg_hi = frame_base + word
-    seg_lo = frame_base + word + 1
-    data = jnp.concatenate([hi.reshape(-1), lo.reshape(-1)])
-    segs = jnp.concatenate([seg_hi.reshape(-1), seg_lo.reshape(-1)])
-    words = jax.ops.segment_sum(data, segs, num_segments=F * (W + 1))
-    words = words.reshape(F, W + 1)[:, :W]
-
-    # words -> big-endian bytes
-    shifts = jnp.asarray([24, 16, 8, 0], dtype=jnp.uint32)
-    payload = ((words[:, :, None] >> shifts[None, None, :]) & 0xFF).astype(jnp.uint8).reshape(F, W * 4)
-
-    crc = crc16_padded_jax(payload, nbytes, W * 4)
-
+    # The payload stays as u32 words: the host turns them into big-endian
+    # bytes with a free numpy byteswap-view instead of a device-side expand.
     return {
-        "payload": payload,
+        "payload_words": words,
         "nbytes": nbytes.astype(jnp.int32),
         "crc": crc.astype(jnp.int32),
         "stats": stats,

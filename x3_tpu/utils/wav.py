@@ -1,0 +1,37 @@
+"""Mono 16-bit WAV read/write (host I/O).
+
+The reference uses the `hound` crate (encodefile.rs:49-61, decodefile.rs:
+193-227); here the stdlib `wave` module plus numpy provides the same
+capability with bulk frame reads/writes."""
+
+from __future__ import annotations
+
+import wave
+
+import numpy as np
+
+from ..errors import MoreThanOneChannel, X3Error
+
+
+def read_wav(path) -> tuple[np.ndarray, int]:
+    """Read a WAV file; returns (int16 samples, sample_rate).
+
+    Asserts 16-bit mono like the reference (encodefile.rs:52-55)."""
+    with wave.open(str(path), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise X3Error(f"only 16-bit WAV supported, got {8 * w.getsampwidth()}-bit")
+        if w.getnchannels() != 1:
+            raise MoreThanOneChannel(f"only mono WAV supported, got {w.getnchannels()} channels")
+        rate = w.getframerate()
+        raw = w.readframes(w.getnframes())
+    return np.frombuffer(raw, dtype="<i2").astype(np.int16), rate
+
+
+def write_wav(path, samples: np.ndarray, sample_rate: int) -> None:
+    """Write int16 mono samples as a WAV file."""
+    samples = np.ascontiguousarray(samples, dtype="<i2")
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(samples.tobytes())
