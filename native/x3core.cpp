@@ -1,0 +1,322 @@
+// x3core — native host-side X3 codec core.
+//
+// The reference implementation's entire runtime is native (Rust, see
+// /root/reference/src/encoder.rs, decoder.rs, bitpacker.rs, bitreader.rs,
+// crc.rs).  This C++ core is the TPU framework's host-side equivalent: a
+// scalar encoder/decoder with the exact same on-the-wire format, used as
+//   * the "native" engine for small/streaming workloads where a device
+//     round-trip is not worth it,
+//   * a fast differential-testing oracle for the JAX pipelines,
+//   * the embedded-style fallback when no accelerator is present.
+//
+// Bit-exactness contract: identical output to the Python oracle
+// (x3_tpu/models/oracle.py) and the Rust reference for every input.
+//
+// Build: make -C native   (produces libx3core.so; plain C ABI via ctypes)
+
+#include <cstdint>
+#include <cstring>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// CRC-16/CCITT, poly 0x1021, init 0xffff, MSB-first (crc.rs:22-58)
+// ---------------------------------------------------------------------------
+
+static uint16_t CRC_TABLE[256];
+static bool crc_init_done = false;
+
+static void crc_init() {
+    if (crc_init_done) return;
+    for (int i = 0; i < 256; i++) {
+        uint16_t crc = (uint16_t)(i << 8);
+        for (int b = 0; b < 8; b++)
+            crc = (crc & 0x8000) ? (uint16_t)((crc << 1) ^ 0x1021) : (uint16_t)(crc << 1);
+        CRC_TABLE[i] = crc;
+    }
+    crc_init_done = true;
+}
+
+uint16_t x3_crc16(const uint8_t* data, int64_t len) {
+    crc_init();
+    uint16_t crc = 0xffff;
+    for (int64_t i = 0; i < len; i++)
+        crc = (uint16_t)((crc << 8) ^ CRC_TABLE[(uint8_t)(data[i] ^ (crc >> 8))]);
+    return crc;
+}
+
+// ---------------------------------------------------------------------------
+// Parameters (x3.rs:81-134).  Rice codes are computed in closed form — the
+// same identities the TPU kernel uses (see ops/encode_kernel.py).
+// ---------------------------------------------------------------------------
+
+struct X3Params {
+    int32_t block_len;
+    int32_t blocks_per_frame;
+    int32_t codes[3];       // rice orders, default {0, 1, 3}
+    int32_t thresholds[3];  // default {3, 8, 20}
+};
+
+static inline void rice_closed_form(int32_t d, int32_t order, uint32_t* code, int32_t* bits) {
+    if (order == 0) {
+        *code = 1;
+        *bits = 2 * (d < 0 ? -d : d) + (d >= 0 ? 1 : 0);
+        return;
+    }
+    int32_t k = order;
+    int32_t e = d >= 0 ? d : -d - 1;
+    *bits = (k + 1) + (e >> (k - 1));
+    int32_t low = (d & ((1 << (k - 1)) - 1)) << 1;
+    *code = d >= 0 ? (uint32_t)((1 << k) | low) : (uint32_t)(((1 << (k + 1)) - 1) - low);
+}
+
+// ---------------------------------------------------------------------------
+// Bit writer (bitpacker.rs semantics: MSB-first, running CRC over bytes)
+// ---------------------------------------------------------------------------
+
+struct BitWriter {
+    uint8_t* out;
+    int64_t cap;
+    int64_t len;     // flushed bytes
+    uint64_t acc;    // bit accumulator, MSB-aligned within acc_bits
+    int32_t acc_bits;
+    uint16_t crc;
+    bool overflow;
+};
+
+static inline void bw_init(BitWriter* bw, uint8_t* out, int64_t cap) {
+    bw->out = out; bw->cap = cap; bw->len = 0; bw->acc = 0; bw->acc_bits = 0;
+    bw->crc = 0xffff; bw->overflow = false;
+}
+
+static inline void bw_flush_bytes(BitWriter* bw) {
+    while (bw->acc_bits >= 8) {
+        uint8_t byte = (uint8_t)(bw->acc >> (bw->acc_bits - 8));
+        if (bw->len >= bw->cap) { bw->overflow = true; return; }
+        bw->out[bw->len++] = byte;
+        bw->crc = (uint16_t)((bw->crc << 8) ^ CRC_TABLE[(uint8_t)(byte ^ (bw->crc >> 8))]);
+        bw->acc_bits -= 8;
+        bw->acc &= (bw->acc_bits ? ((1ULL << bw->acc_bits) - 1) : 0);
+    }
+}
+
+static inline void bw_bits(BitWriter* bw, uint32_t value, int32_t n) {
+    value &= (n >= 32) ? 0xffffffffu : ((1u << n) - 1);
+    bw->acc = (bw->acc << n) | value;
+    bw->acc_bits += n;
+    bw_flush_bytes(bw);
+}
+
+static inline void bw_word_align(BitWriter* bw, int64_t base) {
+    if (bw->acc_bits > 0) bw_bits(bw, 0, 8 - bw->acc_bits);
+    while ((base + bw->len) % 2 != 0) bw_bits(bw, 0, 8);
+}
+
+// ---------------------------------------------------------------------------
+// Encoder (encoder.rs:175-315)
+// ---------------------------------------------------------------------------
+
+static void write_frame_header(uint8_t* h, int32_t num_samples, uint8_t id,
+                               int32_t payload_len, uint16_t payload_crc) {
+    memset(h, 0, 20);
+    h[0] = 0x78; h[1] = 0x33;
+    h[2] = id; h[3] = id;  // channels byte quirk (encoder.rs:130-138)
+    h[4] = (uint8_t)(num_samples >> 8); h[5] = (uint8_t)num_samples;
+    h[6] = (uint8_t)(payload_len >> 8); h[7] = (uint8_t)payload_len;
+    uint16_t hc = x3_crc16(h, 16);
+    h[16] = (uint8_t)(hc >> 8); h[17] = (uint8_t)hc;
+    h[18] = (uint8_t)(payload_crc >> 8); h[19] = (uint8_t)payload_crc;
+}
+
+// Encode one frame (header + payload) at out; returns bytes written or -1.
+static int64_t encode_frame(const int16_t* wav, int32_t n, const X3Params* p,
+                            uint8_t* out, int64_t cap, int64_t* stats) {
+    if (cap < 20) return -1;
+    BitWriter bw;
+    bw_init(&bw, out + 20, cap - 20);
+    bw_bits(&bw, (uint16_t)wav[0], 16);
+
+    int32_t bl = p->block_len;
+    for (int32_t start = 1; start < n; start += bl) {
+        int32_t len = (n - start) < bl ? (n - start) : bl;
+        // block diffs + max |diff|
+        int32_t max_abs = 0;
+        for (int32_t i = 0; i < len; i++) {
+            int32_t d = (int32_t)wav[start + i] - (int32_t)wav[start + i - 1];
+            int32_t a = d < 0 ? -d : d;
+            if (a > max_abs) max_abs = a;
+        }
+        if (max_abs <= p->thresholds[2]) {
+            int32_t ftype = (max_abs > p->thresholds[0]) + (max_abs > p->thresholds[1]);
+            bw_bits(&bw, (uint32_t)(ftype + 1), 2);
+            int32_t order = p->codes[ftype];
+            for (int32_t i = 0; i < len; i++) {
+                int32_t d = (int32_t)wav[start + i] - (int32_t)wav[start + i - 1];
+                uint32_t code; int32_t bits;
+                rice_closed_form(d, order, &code, &bits);
+                bw_bits(&bw, code, bits);
+            }
+            if (stats) {
+                static const int nsubs_of[4] = {0, 1, 2, 3};
+                stats[nsubs_of[order]] += len;
+            }
+        } else {
+            int32_t nb = 0;
+            for (uint32_t v = (uint32_t)max_abs; v; v >>= 1) nb++;
+            if (nb >= 15) {  // pass-through: raw samples (encoder.rs:278-285)
+                bw_bits(&bw, 15, 6);
+                for (int32_t i = 0; i < len; i++)
+                    bw_bits(&bw, (uint16_t)wav[start + i], 16);
+                if (stats) stats[5] += len;
+            } else {  // BFP: nb+1 bits per diff (encoder.rs:269-276)
+                bw_bits(&bw, (uint32_t)nb, 6);
+                for (int32_t i = 0; i < len; i++) {
+                    int32_t d = (int32_t)wav[start + i] - (int32_t)wav[start + i - 1];
+                    bw_bits(&bw, (uint32_t)d, nb + 1);
+                }
+                if (stats) stats[4] += len;
+            }
+        }
+    }
+    bw_word_align(&bw, 0);
+    if (bw.overflow) return -1;
+    write_frame_header(out, n, 1, (int32_t)bw.len, bw.crc);
+    return 20 + bw.len;
+}
+
+// Encode a whole stream into frames.  Returns bytes written, or -1 on error.
+int64_t x3_encode(const int16_t* samples, int64_t n, const X3Params* params,
+                  uint8_t* out, int64_t cap, int64_t* stats6) {
+    crc_init();
+    int64_t spf = (int64_t)params->block_len * params->blocks_per_frame;
+    int64_t pos = 0;
+    for (int64_t start = 0; start < n; start += spf) {
+        int32_t fn = (int32_t)((n - start) < spf ? (n - start) : spf);
+        int64_t wrote = encode_frame(samples + start, fn, params, out + pos, cap - pos, stats6);
+        if (wrote < 0) return -1;
+        pos += wrote;
+    }
+    return pos;
+}
+
+// ---------------------------------------------------------------------------
+// Decoder (decoder.rs:36-235; bitreader.rs semantics)
+// ---------------------------------------------------------------------------
+
+struct BitReader {
+    const uint8_t* data;
+    int64_t len;
+    int64_t pos;  // absolute bit position
+};
+
+static inline int32_t br_bit(BitReader* br, int64_t p) {
+    if (p >= br->len * 8) return 0;
+    return (br->data[p >> 3] >> (7 - (p & 7))) & 1;
+}
+
+static inline uint32_t br_nbits(BitReader* br, int32_t n) {
+    uint32_t r = 0;
+    for (int32_t i = 0; i < n; i++) r = (r << 1) | (uint32_t)br_bit(br, br->pos + i);
+    br->pos += n;
+    return r;
+}
+
+static inline int32_t br_zeros(BitReader* br) {
+    int64_t total = br->len * 8;
+    int32_t c = 0;
+    while (br->pos + c < total && br_bit(br, br->pos + c) == 0) c++;
+    br->pos += c;
+    return c;
+}
+
+// Decode one frame payload into wav.  Returns 0 on success, <0 error code.
+int32_t x3_decode_frame(const uint8_t* payload, int64_t payload_len,
+                        const X3Params* p, int32_t samples, int16_t* wav) {
+    crc_init();
+    if (payload_len < 2 || samples < 1) return -1;
+    int16_t last = (int16_t)((payload[0] << 8) | payload[1]);
+    wav[0] = last;
+    BitReader br{payload + 2, payload_len - 2, 0};
+    int32_t done = 1;
+    while (done < samples) {
+        int32_t len = (samples - done) < p->block_len ? (samples - done) : p->block_len;
+        uint32_t ftype = br_nbits(&br, 2);
+        if (ftype == 0) {
+            int32_t nb = (int32_t)br_nbits(&br, 4) + 1;
+            if (nb <= 5) return -2;  // FrameDecodeInvalidBPF
+            if (nb == 16) {
+                for (int32_t i = 0; i < len; i++) {
+                    last = (int16_t)br_nbits(&br, 16);
+                    wav[done + i] = last;
+                }
+            } else {
+                for (int32_t i = 0; i < len; i++) {
+                    int32_t a = (int32_t)br_nbits(&br, nb);
+                    if (a > (1 << (nb - 1))) a -= 1 << nb;  // asymmetric fold
+                    last = (int16_t)(last + a);
+                    wav[done + i] = last;
+                }
+            }
+        } else {
+            int32_t order = p->codes[ftype - 1];
+            // inv table closed form: inv(i) = i odd ? -(i+1)/2 : i/2
+            int32_t inv_len;
+            switch (order) {
+                case 0: inv_len = 16; break;
+                case 1: inv_len = 26; break;
+                case 2: inv_len = 44; break;
+                default: inv_len = 60; break;
+            }
+            if (ftype == 1) {
+                for (int32_t i = 0; i < len; i++) {
+                    int32_t z = br_zeros(&br);
+                    br.pos += 1;  // stop bit
+                    if (z >= inv_len) return -3;  // OutOfBoundsInverse
+                    int32_t inv = (z & 1) ? -((z + 1) >> 1) : (z >> 1);
+                    last = (int16_t)(last + inv);
+                    wav[done + i] = last;
+                }
+            } else {
+                int32_t nbsuf = (ftype == 2) ? 2 : 4;  // decoder.rs:180 quirk
+                int32_t level = 1 << order;            // 1 << nsubs
+                for (int32_t i = 0; i < len; i++) {
+                    int32_t z = br_zeros(&br);
+                    int32_t r = (int32_t)br_nbits(&br, nbsuf);
+                    int32_t idx = r + level * (z - 1);
+                    if (idx < 0 || idx >= inv_len) return -3;
+                    int32_t inv = (idx & 1) ? -((idx + 1) >> 1) : (idx >> 1);
+                    last = (int16_t)(last + inv);
+                    wav[done + i] = last;
+                }
+            }
+        }
+        done += len;
+    }
+    return 0;
+}
+
+// Walk a frame stream: validate header CRCs and return frame boundaries.
+// offsets/samples/payload_lens must have capacity max_frames.
+// Returns the number of frames indexed.
+int64_t x3_index_frames(const uint8_t* data, int64_t len, int64_t start,
+                        int64_t* payload_offsets, int32_t* samples,
+                        int32_t* payload_lens, int64_t max_frames) {
+    crc_init();
+    int64_t pos = start, count = 0;
+    while (len - pos > 20 && count < max_frames) {
+        const uint8_t* h = data + pos;
+        if (h[0] != 0x78 || h[1] != 0x33) break;
+        uint16_t expect = (uint16_t)((h[16] << 8) | h[17]);
+        if (x3_crc16(h, 16) != expect) break;
+        int32_t pl = (h[6] << 8) | h[7];
+        if (pl >= 0x7fe0 || len - (pos + 20) < pl) break;
+        payload_offsets[count] = pos + 20;
+        samples[count] = (h[4] << 8) | h[5];
+        payload_lens[count] = pl;
+        count++;
+        pos += 20 + pl;
+    }
+    return count;
+}
+
+}  // extern "C"

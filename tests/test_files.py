@@ -172,3 +172,17 @@ def test_wav_to_str(tmp_path):
     assert lines[2] == "sample_rate: 22050"
     assert lines[3].split() == [str(v) for v in wav[:16]]
     assert lines[4].split() == [str(v) for v in wav[16:32]]
+
+
+def test_file_roundtrip_native_engine(tmp_path, rng):
+    from x3_tpu import native
+
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    wav = make_mixed(rng, 15_000)
+    wav_path, x3a_path, back_path = tmp_path / "i.wav", tmp_path / "o.x3a", tmp_path / "b.wav"
+    write_wav(wav_path, wav, 44100)
+    wav_to_x3a(wav_path, x3a_path, engine="native")
+    assert x3a_to_wav(x3a_path, back_path, engine="native") == 0
+    got, _ = read_wav(back_path)
+    np.testing.assert_array_equal(got, wav)

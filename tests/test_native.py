@@ -1,0 +1,77 @@
+"""Native C++ core vs the Python oracle: differential bit-exactness."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import make_hydrophone, make_mixed
+from x3_tpu.models import oracle
+from x3_tpu.ops.crc import crc16
+from x3_tpu.params import Parameters
+from x3_tpu import native
+
+P = Parameters()
+
+pytestmark = pytest.mark.skipif(not native.available(), reason="native toolchain unavailable")
+
+
+def test_native_crc16(golden):
+    data = bytes(golden["crc_payload"])
+    assert native.crc16(data) == crc16(data)
+    assert native.crc16(b"") == 0xFFFF
+
+
+@pytest.mark.parametrize("n", [1, 20, 21, 9_999, 10_000, 25_000])
+def test_native_encode_matches_oracle(rng, n):
+    wav = make_hydrophone(rng, n)
+    st_n, st_o = [0] * 6, [0] * 6
+    assert native.encode(wav, P, st_n) == oracle.encode(wav, P, st_o)
+    assert st_n == st_o
+
+
+def test_native_encode_mixed(rng):
+    wav = make_mixed(rng, 34_567)
+    assert native.encode(wav, P) == oracle.encode(wav, P)
+
+
+def test_native_encode_golden(golden):
+    assert native.encode(golden["frame_wav"], P) == oracle.encode(golden["frame_wav"], P)
+
+
+def test_native_decode_roundtrip(rng):
+    wav = make_mixed(rng, 12_345)
+    stream = native.encode(wav, P)
+    frames = native.index_frames(stream, 0)
+    assert len(frames) == 2
+    out = np.concatenate(
+        [native.decode_frame(stream[o : o + pl], P, s) for o, s, pl in frames]
+    )
+    np.testing.assert_array_equal(out, wav)
+
+
+def test_native_decode_matches_oracle_on_corrupt(rng):
+    """Same error classification as the oracle on a corrupted payload."""
+    wav = make_hydrophone(rng, 5_000)
+    stream = native.encode(wav, P)
+    (off, s, pl), = native.index_frames(stream, 0)
+    bad = bytearray(stream[off : off + pl])
+    bad[2] = 0b00_0010_00  # invalid BFP header
+    from x3_tpu.errors import FrameDecodeInvalidBPF
+
+    with pytest.raises(FrameDecodeInvalidBPF):
+        native.decode_frame(bytes(bad), P, s)
+    with pytest.raises(FrameDecodeInvalidBPF):
+        oracle.decode_frame(bytes(bad), P, s)
+
+
+def test_native_fuzz_vs_oracle(rng):
+    """Differential fuzz: random block contents across the code-selection
+    boundary regions."""
+    for _ in range(20):
+        scale = int(rng.integers(1, 30))
+        n = int(rng.integers(2, 400))
+        wav = np.clip(np.cumsum(rng.integers(-scale, scale + 1, n)), -32768, 32767).astype(np.int16)
+        assert native.encode(wav, P) == oracle.encode(wav, P)
+        stream = native.encode(wav, P)
+        frames = native.index_frames(stream, 0)
+        out = np.concatenate([native.decode_frame(stream[o : o + pl], P, s) for o, s, pl in frames])
+        np.testing.assert_array_equal(out, wav)

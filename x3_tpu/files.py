@@ -85,11 +85,17 @@ def x3a_to_wav(
         batch = index[base : base + batch_frames]
         payloads = [data[off : off + h.payload_len] for off, h in batch]
         ns = [h.samples for _, h in batch]
-        if engine == "numpy":
+        if engine in ("numpy", "native"):
+            if engine == "native":
+                from . import native as native_mod
+
+                dec = lambda p, n: native_mod.decode_frame(p, spec.params, n)
+            else:
+                dec = lambda p, n: oracle.decode_frame(p, spec.params, n)
             outs, errs = [], []
             for p, n in zip(payloads, ns):
                 try:
-                    outs.append(oracle.decode_frame(p, spec.params, n))
+                    outs.append(dec(p, n))
                     errs.append(False)
                 except X3Error:
                     outs.append(np.zeros(0, np.int16))
@@ -148,10 +154,16 @@ class X3aReader:
         if not ok.all():
             bad = base + int(np.nonzero(~ok)[0][0])
             raise FrameHeaderInvalidPayloadCRC(f"frame {bad} payload CRC mismatch")
-        if self._engine == "numpy":
+        if self._engine in ("numpy", "native"):
+            if self._engine == "native":
+                from . import native as native_mod
+
+                dec = lambda p, n: native_mod.decode_frame(p, self._spec.params, n)
+            else:
+                dec = lambda p, n: oracle.decode_frame(p, self._spec.params, n)
             for i, (p, n) in enumerate(zip(payloads, ns)):
                 try:
-                    self._cache[base + i] = oracle.decode_frame(p, self._spec.params, n)
+                    self._cache[base + i] = dec(p, n)
                 except X3Error:
                     self._cache[base + i] = None
         else:

@@ -78,7 +78,8 @@ def encode(
 ) -> EncodeResult:
     """Encode a mono int16 stream into a frame stream (no archive header).
 
-    engine: "jax" (batched TPU pipeline) or "numpy" (oracle)."""
+    engine: "jax" (batched TPU pipeline), "native" (C++ host core), or
+    "numpy" (oracle)."""
     params = params or Parameters()
     samples = np.ascontiguousarray(samples, dtype=np.int16)
     if samples.ndim != 1:
@@ -88,6 +89,13 @@ def encode(
     if engine == "numpy":
         st = [0] * 6
         data = oracle.encode(samples, params, st)
+        stats += np.asarray(st, dtype=np.int64)
+        return EncodeResult(data, stats)
+    if engine == "native":
+        from .. import native
+
+        st = [0] * 6
+        data = native.encode(samples, params, st)
         stats += np.asarray(st, dtype=np.int64)
         return EncodeResult(data, stats)
     if engine != "jax":

@@ -1,0 +1,151 @@
+"""ctypes bindings to the native host-side codec core (native/x3core.cpp).
+
+The reference's runtime is entirely native; this module exposes the
+framework's C++ equivalent as the "native" engine.  The library is built on
+demand with `make -C native` and loaded lazily; everything degrades
+gracefully to the Python oracle when no toolchain is available."""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+from .errors import FrameDecodeInvalidBPF, OutOfBoundsInverse, X3Error
+from .params import Parameters
+
+_NATIVE_DIR = Path(__file__).resolve().parent.parent / "native"
+_LIB_PATH = _NATIVE_DIR / "libx3core.so"
+_lib = None
+
+
+class _CParams(ctypes.Structure):
+    _fields_ = [
+        ("block_len", ctypes.c_int32),
+        ("blocks_per_frame", ctypes.c_int32),
+        ("codes", ctypes.c_int32 * 3),
+        ("thresholds", ctypes.c_int32 * 3),
+    ]
+
+
+def _cparams(params: Parameters) -> _CParams:
+    c = _CParams()
+    c.block_len = params.block_len
+    c.blocks_per_frame = params.blocks_per_frame
+    for i in range(3):
+        c.codes[i] = params.codes[i]
+        c.thresholds[i] = params.thresholds[i]
+    return c
+
+
+def build(force: bool = False) -> bool:
+    """Build libx3core.so if missing.  Returns True when the library exists."""
+    if _LIB_PATH.exists() and not force:
+        return True
+    try:
+        subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True, capture_output=True)
+    except (OSError, subprocess.CalledProcessError):
+        return False
+    return _LIB_PATH.exists()
+
+
+def load():
+    """Load (building if needed) the native library; None if unavailable."""
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not build():
+        return None
+    lib = ctypes.CDLL(str(_LIB_PATH))
+    lib.x3_crc16.restype = ctypes.c_uint16
+    lib.x3_crc16.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.x3_encode.restype = ctypes.c_int64
+    lib.x3_encode.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.POINTER(_CParams),
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+    ]
+    lib.x3_decode_frame.restype = ctypes.c_int32
+    lib.x3_decode_frame.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.POINTER(_CParams),
+        ctypes.c_int32, ctypes.c_void_p,
+    ]
+    lib.x3_index_frames.restype = ctypes.c_int64
+    lib.x3_index_frames.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+    ]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return load() is not None
+
+
+def crc16(data: bytes) -> int:
+    lib = load()
+    buf = np.frombuffer(bytes(data), dtype=np.uint8)
+    return int(lib.x3_crc16(buf.ctypes.data_as(ctypes.c_void_p), len(buf)))
+
+
+def encode(samples, params: Parameters | None = None, stats=None) -> bytes:
+    """Native scalar encode of a full stream (frames incl. headers)."""
+    lib = load()
+    if lib is None:
+        raise X3Error("native library unavailable")
+    params = params or Parameters()
+    samples = np.ascontiguousarray(samples, dtype=np.int16)
+    n = len(samples)
+    if n == 0:
+        return b""
+    cap = 2 * n + 64 * (n // params.samples_per_frame + 2)
+    out = np.zeros(cap, dtype=np.uint8)
+    st = np.zeros(6, dtype=np.int64)
+    wrote = lib.x3_encode(
+        samples.ctypes.data_as(ctypes.c_void_p), n, ctypes.byref(_cparams(params)),
+        out.ctypes.data_as(ctypes.c_void_p), cap, st.ctypes.data_as(ctypes.c_void_p),
+    )
+    if wrote < 0:
+        raise X3Error("native encode overflow")
+    if stats is not None:
+        for i in range(6):
+            stats[i] += int(st[i])
+    return out[:wrote].tobytes()
+
+
+def decode_frame(payload: bytes, params: Parameters, samples: int) -> np.ndarray:
+    lib = load()
+    if lib is None:
+        raise X3Error("native library unavailable")
+    buf = np.frombuffer(bytes(payload), dtype=np.uint8)
+    wav = np.zeros(samples, dtype=np.int16)
+    rc = lib.x3_decode_frame(
+        buf.ctypes.data_as(ctypes.c_void_p), len(buf), ctypes.byref(_cparams(params)),
+        samples, wav.ctypes.data_as(ctypes.c_void_p),
+    )
+    if rc == -2:
+        raise FrameDecodeInvalidBPF("native decode: invalid BFP")
+    if rc == -3:
+        raise OutOfBoundsInverse("native decode: inverse index out of bounds")
+    if rc != 0:
+        raise X3Error(f"native decode failed ({rc})")
+    return wav
+
+
+def index_frames(data: bytes, start: int, max_frames: int = 1 << 20):
+    """Native frame walk: [(payload_offset, samples, payload_len), ...]."""
+    lib = load()
+    if lib is None:
+        raise X3Error("native library unavailable")
+    buf = np.frombuffer(bytes(data), dtype=np.uint8)
+    offs = np.zeros(max_frames, dtype=np.int64)
+    samp = np.zeros(max_frames, dtype=np.int32)
+    plens = np.zeros(max_frames, dtype=np.int32)
+    n = lib.x3_index_frames(
+        buf.ctypes.data_as(ctypes.c_void_p), len(buf), start,
+        offs.ctypes.data_as(ctypes.c_void_p), samp.ctypes.data_as(ctypes.c_void_p),
+        plens.ctypes.data_as(ctypes.c_void_p), max_frames,
+    )
+    return [(int(offs[i]), int(samp[i]), int(plens[i])) for i in range(n)]
