@@ -1,0 +1,174 @@
+"""Batched multi-file / multi-stream encode and decode.
+
+Frames are the parallel unit (SURVEY.md §5), so frames from *different*
+files share device batches: 256 WAVs encode as a single sequence of large
+[F, S] device calls regardless of how the samples are split across files
+(BASELINE.json config 4).  With a `jax.sharding` mesh, the same batches are
+sharded across chips via parallel.mesh — no inter-chip communication inside
+the codec."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import archive, constants
+from .errors import FrameHeaderInvalidPayloadCRC
+from .models.encoder import EncodeResult, build_frame_headers
+from .params import Parameters
+from .utils.wav import read_wav, write_wav
+
+DEFAULT_BATCH_FRAMES = 256
+
+
+def encode_streams(
+    streams,
+    params: Parameters | None = None,
+    batch_frames: int = DEFAULT_BATCH_FRAMES,
+    mesh=None,
+    source_id: int = 1,
+):
+    """Encode many independent mono streams, sharing device batches.
+
+    streams: list of int16 arrays.  Returns list of EncodeResult."""
+    from .ops.encode_kernel import encode_frames
+
+    params = params or Parameters()
+    spf = params.samples_per_frame
+
+    # Global frame worklist across all streams.
+    work = []  # (stream_idx, start, n_samples)
+    for si, s in enumerate(streams):
+        n = len(s)
+        for start in range(0, n, spf):
+            work.append((si, start, min(spf, n - start)))
+
+    if mesh is not None:
+        from .parallel.mesh import encode_frames_sharded
+
+        ndev = mesh.size
+        batch_frames = -(-batch_frames // ndev) * ndev
+
+    parts: list[list[bytes]] = [[] for _ in streams]
+    stats = [np.zeros(6, dtype=np.int64) for _ in streams]
+
+    for base in range(0, len(work), batch_frames):
+        chunk = work[base : base + batch_frames]
+        batch = np.zeros((batch_frames, spf), dtype=np.int16)
+        n_valid = np.zeros(batch_frames, dtype=np.int32)
+        for i, (si, start, n) in enumerate(chunk):
+            batch[i, :n] = streams[si][start : start + n]
+            n_valid[i] = n
+        if mesh is not None:
+            res = encode_frames_sharded(batch, n_valid, params, mesh)
+        else:
+            res = encode_frames(batch, n_valid, params)
+        words = np.ascontiguousarray(res["payload_words"])
+        payload = words.byteswap().view(np.uint8)
+        nbytes = np.asarray(res["nbytes"])
+        crc = np.asarray(res["crc"])
+        bstats = np.asarray(res["stats"])
+        headers = build_frame_headers(n_valid[: len(chunk)], source_id, nbytes[: len(chunk)], crc[: len(chunk)])
+        for i, (si, start, n) in enumerate(chunk):
+            parts[si].append(headers[i].tobytes() + payload[i, : nbytes[i]].tobytes())
+            stats[si] += bstats[i].astype(np.int64)
+
+    return [EncodeResult(b"".join(p), st) for p, st in zip(parts, stats)]
+
+
+def decode_streams(
+    archives,
+    batch_frames: int = DEFAULT_BATCH_FRAMES,
+    mesh=None,
+):
+    """Decode many .x3a archive byte strings, sharing device batches.
+
+    Returns list of (samples int16 array, sample_rate).  Raises on CRC
+    mismatch (reference behavior)."""
+    from .ops.encode_kernel import frame_geometry
+    from .ops.decode_kernel import decode_frames
+
+    specs = []
+    work = []  # (archive_idx, payload_slice, n_samples)
+    for ai, data in enumerate(archives):
+        spec, header_size = archive.parse_archive_header(data)
+        specs.append(spec)
+        index = list(archive.walk_frames(data, header_size))
+        ok = archive.verify_payload_crcs(data, index)
+        if not ok.all():
+            bad = int(np.nonzero(~ok)[0][0])
+            raise FrameHeaderInvalidPayloadCRC(f"archive {ai} frame {bad} payload CRC mismatch")
+        for off, h in index:
+            work.append((ai, data[off : off + h.payload_len], h.samples))
+
+    params = specs[0].params if specs else Parameters()
+    S, B, L, W = frame_geometry(params)
+
+    if mesh is not None:
+        from .parallel.mesh import decode_frames_sharded
+
+        ndev = mesh.size
+        batch_frames = -(-batch_frames // ndev) * ndev
+
+    outs: list[list[np.ndarray]] = [[] for _ in archives]
+    for base in range(0, len(work), batch_frames):
+        chunk = work[base : base + batch_frames]
+        buf = np.zeros((batch_frames, W * 4), dtype=np.uint8)
+        ns = np.zeros(batch_frames, dtype=np.int32)
+        for i, (ai, payload, n) in enumerate(chunk):
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            buf[i, : len(arr)] = arr
+            ns[i] = n
+        if mesh is not None:
+            dec, err = decode_frames_sharded(buf, ns, params, mesh)
+        else:
+            dec, err = decode_frames(buf, ns, params)
+        dec = np.asarray(dec)
+        if np.asarray(err)[: len(chunk)].any():
+            bad = int(np.nonzero(np.asarray(err))[0][0])
+            raise FrameHeaderInvalidPayloadCRC(f"frame {base + bad} failed to decode")
+        for i, (ai, payload, n) in enumerate(chunk):
+            outs[ai].append(dec[i, :n])
+
+    return [
+        (np.concatenate(o) if o else np.zeros(0, np.int16), spec.sample_rate)
+        for o, spec in zip(outs, specs)
+    ]
+
+
+def wav_to_x3a_batch(
+    wav_filenames,
+    x3a_filenames,
+    params: Parameters | None = None,
+    batch_frames: int = DEFAULT_BATCH_FRAMES,
+    mesh=None,
+):
+    """Batch-convert many WAV files to .x3a archives, frames from all files
+    sharing device batches.  Returns the list of EncodeResult."""
+    params = params or Parameters()
+    streams, rates = [], []
+    for p in wav_filenames:
+        s, r = read_wav(p)
+        streams.append(s)
+        rates.append(r)
+    results = encode_streams(streams, params, batch_frames, mesh)
+    for path, rate, res in zip(x3a_filenames, rates, results):
+        with open(path, "wb") as f:
+            f.write(archive.build_archive_header(rate, params))
+            f.write(res.data)
+    return results
+
+
+def x3a_to_wav_batch(
+    x3a_filenames,
+    wav_filenames,
+    batch_frames: int = DEFAULT_BATCH_FRAMES,
+    mesh=None,
+):
+    """Batch-convert many .x3a archives back to WAV files."""
+    from pathlib import Path
+
+    archives = [Path(p).read_bytes() for p in x3a_filenames]
+    decoded = decode_streams(archives, batch_frames, mesh)
+    for path, (samples, rate) in zip(wav_filenames, decoded):
+        write_wav(path, samples, rate)
+    return [n for n, _ in ((len(s), r) for s, r in decoded)]
