@@ -72,7 +72,16 @@ def decode_frames(payload: jax.Array, n_samples: jax.Array, params: Parameters):
     n = n_samples.astype(jnp.int32)
     first = _wrap16(((words[:, 0] >> 16) & 0xFFFF).astype(jnp.int32))
 
-    win_iota = jnp.arange(WIN_WORDS, dtype=jnp.int32)[None, :]  # [1, 12]
+    # TPU gathers cost per-index, not per-element, so the per-block window
+    # load is 4 contiguous 4-word slices (cheap) realigned to the block's
+    # start word with 4-way selects (free), instead of 12 scattered words.
+    G = 4  # slice width in words; W from frame_geometry is a multiple of 8
+    K = 4  # slices per window: [4q, 4q+16) covers [sw, sw+12) since sw-4q<=3
+    # Pad so the last block's 16-word window never clips q (which would
+    # break the delta realignment below).
+    wpad = jnp.concatenate([words, jnp.zeros((F, K * G), jnp.uint32)], axis=1)
+    wg = wpad.reshape(F, (W + K * G) // G, G)
+    slice_iota = jnp.arange(K, dtype=jnp.int32)[None, :]
 
     def extract32(win, rel):
         """32-bit big-endian window at in-window bit offset rel (elementwise:
@@ -91,9 +100,20 @@ def decode_frames(payload: jax.Array, n_samples: jax.Array, params: Parameters):
         block_first = 1 + b * L
         valid_block = block_first < n
 
-        # One gather per block: the 12-word window covering the whole block.
-        sw = jnp.clip(off >> 5, 0, W - WIN_WORDS)
-        win = jnp.take_along_axis(words, sw[:, None] + win_iota, axis=1)  # [F, 12]
+        # One sliced gather per block: K contiguous G-word slices, then
+        # realign to the block's start word with (G-1)-way selects.
+        sw = jnp.clip(off >> 5, 0, W - 1)
+        q = sw >> 2  # padded array: [4q, 4q+16) always in range
+        raw = jnp.take_along_axis(wg, (q[:, None] + slice_iota)[:, :, None], axis=1)
+        raw = raw.reshape(F, K * G)  # [F, 16] words starting at word 4q
+        delta = sw - (q << 2)  # 0..3
+        win = []
+        for i in range(WIN_WORDS):
+            v = raw[:, i]
+            for d in range(1, G):
+                v = jnp.where(delta == d, raw[:, i + d], v)
+            win.append(v)
+        win = jnp.stack(win, axis=1)  # [F, 12] aligned at sw
         rel = off - (sw << 5)  # in-window bit offset (0..31 at block start)
 
         hdr = extract32(win, rel)
