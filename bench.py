@@ -64,7 +64,7 @@ def main():
     spf = params.samples_per_frame
     S, B, L, W = frame_geometry(params)
 
-    batch_frames = int(os.environ.get("X3_BENCH_BATCH", "512"))
+    batch_frames = int(os.environ.get("X3_BENCH_BATCH", "1024"))
     reps = int(os.environ.get("X3_BENCH_REPS", "10"))
     wav = make_corpus(batch_frames, spf)
     in_mb = wav.nbytes / 1e6
