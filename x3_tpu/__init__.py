@@ -23,11 +23,16 @@ __all__ = [
     "Parameters",
     "X3aSpec",
     "X3Error",
+    "Channel",
+    "IterChannel",
     "encode",
     "decode_frame",
     "wav_to_x3a",
     "x3a_to_wav",
     "X3aReader",
+    "StreamEncoder",
+    "wav_to_x3a_batch",
+    "x3a_to_wav_batch",
 ]
 
 
@@ -45,4 +50,16 @@ def __getattr__(name):
         from .models.decoder import decode_frame
 
         return decode_frame
+    if name in ("Channel", "IterChannel"):
+        from . import channel
+
+        return getattr(channel, name)
+    if name == "StreamEncoder":
+        from .streaming import StreamEncoder
+
+        return StreamEncoder
+    if name in ("wav_to_x3a_batch", "x3a_to_wav_batch"):
+        from . import multifile
+
+        return getattr(multifile, name)
     raise AttributeError(name)
