@@ -131,9 +131,22 @@ def find_sync(data: bytes, start: int) -> int:
 
 def verify_payload_crcs(data: bytes, index: list) -> np.ndarray:
     """Batched payload CRC check for an entire frame index.  Returns a bool
-    array, True where the payload CRC matches (decodefile.rs:93-103)."""
+    array, True where the payload CRC matches (decodefile.rs:93-103).
+
+    Uses the native CRC core when available (C table walk, ~GB/s); falls
+    back to the row-vectorized numpy CRC."""
     if not index:
         return np.zeros(0, bool)
+    try:
+        from . import native
+
+        if native.available():
+            return np.asarray(
+                [native.crc16(data[off : off + h.payload_len]) == h.payload_crc for off, h in index],
+                dtype=bool,
+            )
+    except Exception:
+        pass
     max_len = max(h.payload_len for _, h in index)
     arr = np.frombuffer(data, dtype=np.uint8)
     rows = np.zeros((len(index), max_len), dtype=np.uint8)
