@@ -28,9 +28,7 @@ import numpy as np
 
 from .. import constants
 from ..params import Parameters
-from .encode_kernel import frame_geometry
-
-WIN_WORDS = 12  # 31 (start skew) + 326 (max block bits) <= 384 bits
+from .encode_kernel import block_buffer_words, frame_geometry
 
 
 def _decode_tables(params: Parameters):
@@ -63,6 +61,7 @@ def decode_frames(payload: jax.Array, n_samples: jax.Array, params: Parameters):
     n_samples: int32 [F] — sample count per frame (0 = dummy lane)
     Returns (samples int16 [F, S], err bool [F])."""
     S, B, L, W = frame_geometry(params)
+    WIN_WORDS = block_buffer_words(params)  # covers any block + start skew
     F = payload.shape[0]
     nsubs_np, invlen_np = _decode_tables(params)
 
@@ -76,24 +75,27 @@ def decode_frames(payload: jax.Array, n_samples: jax.Array, params: Parameters):
     # load is 4 contiguous 4-word slices (cheap) realigned to the block's
     # start word with 4-way selects (free), instead of 12 scattered words.
     G = 4  # slice width in words; W from frame_geometry is a multiple of 8
-    K = 4  # slices per window: [4q, 4q+16) covers [sw, sw+12) since sw-4q<=3
+    K = -(-(WIN_WORDS + G - 1) // G)  # G*K >= WIN + G-1 covers [sw, sw+WIN), sw-Gq <= G-1
     # Pad so the last block's 16-word window never clips q (which would
     # break the delta realignment below).
     wpad = jnp.concatenate([words, jnp.zeros((F, K * G), jnp.uint32)], axis=1)
     wg = wpad.reshape(F, (W + K * G) // G, G)
     slice_iota = jnp.arange(K, dtype=jnp.int32)[None, :]
 
+    def select_word(win, idx):
+        """win[:, idx] per lane via a WIN_WORDS-way elementwise select."""
+        v = jnp.zeros_like(win[:, 0])
+        for i in range(WIN_WORDS):
+            v = jnp.where(idx == i, win[:, i], v)
+        return v
+
     def extract32(win, rel):
-        """32-bit big-endian window at in-window bit offset rel (elementwise:
-        WIN_WORDS-way select instead of a gather)."""
+        """32-bit big-endian view at in-window bit offset rel.  Independent
+        selects per call — shorter dependency chains than the rolling
+        window, so this is the fast path for small unrolled block_len."""
         q = rel >> 5
         r = (rel & 31).astype(jnp.uint32)
-        w0 = jnp.zeros_like(win[:, 0])
-        w1 = jnp.zeros_like(win[:, 0])
-        for i in range(WIN_WORDS):
-            w0 = jnp.where(q == i, win[:, i], w0)
-            w1 = jnp.where(q + 1 == i, win[:, i], w1)
-        return (w0 << r) | ((w1 >> (31 - r)) >> 1)
+        return (select_word(win, q) << r) | ((select_word(win, q + 1) >> (31 - r)) >> 1)
 
     def block_body(carry, b):
         off, last, err = carry
@@ -113,10 +115,19 @@ def decode_frames(payload: jax.Array, n_samples: jax.Array, params: Parameters):
             for d in range(1, G):
                 v = jnp.where(delta == d, raw[:, i + d], v)
             win.append(v)
-        win = jnp.stack(win, axis=1)  # [F, 12] aligned at sw
+        win = jnp.stack(win, axis=1)  # [F, WIN_WORDS] aligned at sw
         rel = off - (sw << 5)  # in-window bit offset (0..31 at block start)
 
-        hdr = extract32(win, rel)
+        # Rolling 64-bit register window: per sample the 32-bit view is two
+        # shifts, and at most ONE word is pulled from `win` (every code is
+        # <= 16 bits wherever the stream is valid; longer reads only occur
+        # on already-error-flagged lanes, where desync is harmless).
+        rel = rel + 0  # header consumed below
+        hdr_q = rel >> 5
+        hdr_r = (rel & 31).astype(jnp.uint32)
+        h0 = select_word(win, hdr_q)
+        h1 = select_word(win, hdr_q + 1)
+        hdr = (h0 << hdr_r) | ((h1 >> (31 - hdr_r)) >> 1)
         ftype = (hdr >> 30).astype(jnp.int32)
         dec_nb = ((hdr >> 26) & 0xF).astype(jnp.int32) + 1
         is_hdr0 = ftype == 0
@@ -134,10 +145,9 @@ def decode_frames(payload: jax.Array, n_samples: jax.Array, params: Parameters):
         dec_nb_u = jnp.clip(dec_nb, 1, 31).astype(jnp.uint32)
         neg_thresh = 1 << jnp.clip(dec_nb - 1, 0, 30)
 
-        outs = []
-        for k in range(L):
-            valid = valid_block & ((block_first + k) < n)
-            win32 = extract32(win, rel)
+        def decode_math(win32, last, err, valid):
+            """Branch-free decode of one sample from its 32-bit window.
+            Returns (new_sample, consumed_bits, err)."""
             zeros = jax.lax.clz(win32).astype(jnp.int32)
             zc = jnp.clip(zeros, 0, 31).astype(jnp.uint32)
 
@@ -159,12 +169,54 @@ def decode_frames(payload: jax.Array, n_samples: jax.Array, params: Parameters):
             consume = jnp.where(
                 ftype == 1, zeros + 1, jnp.where(is_rice, zeros + nbsuf, dec_nb)
             )
-            rel = rel + jnp.where(valid, consume, 0)
-            last = jnp.where(valid, new, last)
-            outs.append(new)
+            return new, consume, err
 
-        off = (sw << 5) + rel
-        blk = jnp.stack(outs, axis=1)  # [F, L]
+        if L <= 24:
+            # Small blocks (incl. the default 20): fully unrolled; each
+            # sample extracts its window independently — short dependency
+            # chains, everything fuses.
+            outs = []
+            for k in range(L):
+                valid = valid_block & ((block_first + k) < n)
+                win32 = extract32(win, rel)
+                new, consume, err = decode_math(win32, last, err, valid)
+                rel = rel + jnp.where(valid, consume, 0)
+                last = jnp.where(valid, new, last)
+                outs.append(new)
+            blk = jnp.stack(outs, axis=1)  # [F, L]
+            off = (sw << 5) + rel
+        else:
+            # Large blocks: a rolling 64-bit register window inside lax.scan
+            # keeps the trace (and compile time) O(1) in block_len.
+            widx = rel >> 5
+            r = rel & 31
+            w0 = select_word(win, widx)
+            w1 = select_word(win, widx + 1)
+
+            def sample_step(state, k):
+                widx, r, w0, w1, last, err = state
+                valid = valid_block & ((block_first + k) < n)
+                ru = r.astype(jnp.uint32)
+                win32 = (w0 << ru) | ((w1 >> (31 - ru)) >> 1)
+                new, consume, err = decode_math(win32, last, err, valid)
+                # Valid codes never exceed 16 bits; clamping keeps the
+                # rolling invariant (r < 32 -> single-word advance) on
+                # garbage lanes, which are error-flagged anyway.
+                consume = jnp.minimum(consume, 16)
+                r = r + jnp.where(valid, consume, 0)
+                carry = r >= 32
+                r = r - jnp.where(carry, 32, 0)
+                w0 = jnp.where(carry, w1, w0)
+                w1 = jnp.where(carry, select_word(win, widx + 2), w1)
+                widx = widx + carry.astype(jnp.int32)
+                last = jnp.where(valid, new, last)
+                return (widx, r, w0, w1, last, err), new
+
+            state = (widx, r, w0, w1, last, err)
+            state, outs = jax.lax.scan(sample_step, state, jnp.arange(L, dtype=jnp.int32))
+            widx, r, w0, w1, last, err = state
+            blk = jnp.transpose(outs, (1, 0))
+            off = (sw << 5) + (widx << 5) + r
         return (off, last, err), blk
 
     off0 = n * 0 + 16  # bitstream starts after the raw first sample

@@ -94,6 +94,13 @@ def frame_geometry(params: Parameters):
     return S, B, L, n_words
 
 
+def block_buffer_words(params: Parameters) -> int:
+    """Words per block buffer: worst-case block bits (first sample + header +
+    16 bits/sample) plus up to 31 bits of start-offset skew."""
+    max_block_bits = 16 + constants.BFP_HDR_LEN + 16 * params.block_len
+    return -(-(max_block_bits + 31) // 32)
+
+
 def _pack_segment_sum(item_val, item_len, W: int):
     """Reference pack: each item contributes to <= 2 words; disjoint-bit
     contributions are combined with one big segment-sum scatter.  Correct but
@@ -118,13 +125,13 @@ def _pack_segment_sum(item_val, item_len, W: int):
     return words.reshape(F, W + 1)[:, :W], total_bits.astype(jnp.int32)
 
 
-def _pack_block_buffers(item_val, item_len, W: int):
+def _pack_block_buffers(item_val, item_len, W: int, NW: int = 12):
     """Two-level TPU-native bit pack (no large scatters).
 
     item_val/item_len: uint32/int32 [F, B, I] — per-block item streams (slot 0
     is the frame's raw first sample, nonzero only for block 0).
 
-    Level 1 packs each block's <=373 bits into a 12-word buffer, pre-shifted
+    Level 1 packs each block's bits into an NW-word buffer, pre-shifted
     by the block's global (offset & 31) — all purely elementwise over [F, B]
     lanes.  Level 2 merges buffers into the frame's word stream using the
     span structure: every block >= 22 bits, so each output word receives the
@@ -134,7 +141,6 @@ def _pack_block_buffers(item_val, item_len, W: int):
     ownership map).  Returns (words uint32 [F, W], total_bits int32 [F]).
     """
     F, B, I = item_val.shape
-    NW = 12  # 342 item bits + 31 shift <= 384 = 12 words
 
     ends_in = jnp.cumsum(item_len, axis=2)
     block_bits = ends_in[:, :, -1]  # [F, B]
@@ -265,7 +271,7 @@ def encode_frames(samples: jax.Array, n_valid: jax.Array, params: Parameters, pa
     item_len = jnp.concatenate([first_len, hdr_len[:, :, None], ln], axis=2)
 
     if pack_mode == "block":
-        words, total_bits = _pack_block_buffers(item_val, item_len, W)
+        words, total_bits = _pack_block_buffers(item_val, item_len, W, block_buffer_words(params))
     elif pack_mode == "segment":
         words, total_bits = _pack_segment_sum(item_val.reshape(F, -1), item_len.reshape(F, -1), W)
     else:
