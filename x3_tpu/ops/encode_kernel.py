@@ -169,29 +169,50 @@ def _pack_block_buffers(item_val, item_len, W: int, NW: int = 12):
 
     # Merge buffers into the frame stream ON THE MXU: placing block rows at
     # their (monotone) start words is a compaction, i.e. a one-hot matmul.
-    # Buffer words are split into int8 byte planes (exact in int32
-    # accumulation; contributions to any output word are bit-disjoint so
-    # + == |), contracted against the one-hot start-word matrix, then the 12
-    # buffer columns are realigned with static shifted adds:
-    # out[w] = sum_k placed[w-k][k].
+    # To shrink the one-hot (the dominant HBM traffic), placement is done at
+    # 4-word "superword" granularity: each buffer is pre-shifted by its
+    # start word's residue (s & 3) into NW+3 word slots — elementwise — so
+    # the one-hot only needs W/4 columns.  Buffer words are split into int8
+    # byte planes (disjoint-bit sums are exact mod 256 in int32
+    # accumulation, so + == | after masking), contracted on the MXU, and
+    # the word slots realigned with static shifted adds.
     s = (block_off >> 5).astype(jnp.int32)  # block start word, monotone
-    WP = W + NW
+    s_hi = s >> 2
+    s_lo = s & 3
+    NB4 = NW + 3  # word slots relative to the 4-word-aligned base
+    buf4 = []
+    for j in range(NB4):
+        v = jnp.zeros((F, B), jnp.uint32)
+        for d in range(4):
+            if 0 <= j - d < NW:
+                v = v + jnp.where(s_lo == d, buf[:, :, j - d], jnp.uint32(0))
+        buf4.append(v)
+    buf4 = jnp.stack(buf4, axis=2)  # [F, B, NB4]
+
+    WH = (W + NW) // 4 + 2  # superword columns
     b8 = jnp.stack(
-        [(buf >> 24) & 0xFF, (buf >> 16) & 0xFF, (buf >> 8) & 0xFF, buf & 0xFF], axis=3
-    ).astype(jnp.int8).reshape(F, B, NW * 4)
-    wi = jax.lax.broadcasted_iota(jnp.int32, (F, B, WP), 2)
-    onehot = (wi == jnp.clip(s, 0, WP - 1)[:, :, None]).astype(jnp.int8)
+        [(buf4 >> 24) & 0xFF, (buf4 >> 16) & 0xFF, (buf4 >> 8) & 0xFF, buf4 & 0xFF], axis=3
+    ).astype(jnp.int8).reshape(F, B, NB4 * 4)
+    wi = jax.lax.broadcasted_iota(jnp.int32, (F, B, WH), 2)
+    onehot = (wi == jnp.clip(s_hi, 0, WH - 1)[:, :, None]).astype(jnp.int8)
     placed = jax.lax.dot_general(
         onehot, b8, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.int32
-    ).reshape(F, WP, NW, 4)
-    # int8 planes are signed, but disjoint-bit sums are exact mod 256 — the
-    # low 8 accumulator bits are the true byte, so mask before recombining.
+    ).reshape(F, WH, NB4, 4)
     placed = placed.astype(jnp.uint32) & 0xFF
     pw = (placed[..., 0] << 24) | (placed[..., 1] << 16) | (placed[..., 2] << 8) | placed[..., 3]
-    words = pw[:, :W, 0]
-    for k in range(1, NW):
-        col = pw[:, : W - k, k]
-        words = words + jnp.concatenate([jnp.zeros((F, k), col.dtype), col], axis=1)
+
+    # out[4t + rr] = sum_{m} pw[t - m, rr + 4m]
+    n_m = -(-NB4 // 4)
+    res_cols = []
+    for rr in range(4):
+        acc = jnp.zeros((F, WH), jnp.uint32)
+        for m in range(n_m):
+            j = rr + 4 * m
+            if j < NB4:
+                col = pw[:, : WH - m, j]
+                acc = acc + jnp.concatenate([jnp.zeros((F, m), col.dtype), col], axis=1)
+        res_cols.append(acc)
+    words = jnp.stack(res_cols, axis=2).reshape(F, WH * 4)[:, :W]
     return words, total_bits.astype(jnp.int32)
 
 
