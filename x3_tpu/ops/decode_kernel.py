@@ -89,13 +89,22 @@ def decode_frames(payload: jax.Array, n_samples: jax.Array, params: Parameters):
             v = jnp.where(idx == i, win[:, i], v)
         return v
 
-    def extract32(win, rel):
+    def extract32(win, rel, qmax=None):
         """32-bit big-endian view at in-window bit offset rel.  Independent
         selects per call — shorter dependency chains than the rolling
-        window, so this is the fast path for small unrolled block_len."""
+        window, so this is the fast path for small unrolled block_len.
+        `qmax` statically bounds the word index (codes are <= 16 bits, so
+        sample k of a block can only start within the first few words)."""
         q = rel >> 5
         r = (rel & 31).astype(jnp.uint32)
-        return (select_word(win, q) << r) | ((select_word(win, q + 1) >> (31 - r)) >> 1)
+        hi = min(WIN_WORDS, (qmax if qmax is not None else WIN_WORDS - 1) + 1)
+        w0 = jnp.zeros_like(win[:, 0])
+        w1 = jnp.zeros_like(win[:, 0])
+        for i in range(hi):
+            w0 = jnp.where(q == i, win[:, i], w0)
+        for i in range(min(WIN_WORDS, hi + 1)):
+            w1 = jnp.where(q + 1 == i, win[:, i], w1)
+        return (w0 << r) | ((w1 >> (31 - r)) >> 1)
 
     def block_body(carry, b):
         off, last, err = carry
@@ -118,16 +127,7 @@ def decode_frames(payload: jax.Array, n_samples: jax.Array, params: Parameters):
         win = jnp.stack(win, axis=1)  # [F, WIN_WORDS] aligned at sw
         rel = off - (sw << 5)  # in-window bit offset (0..31 at block start)
 
-        # Rolling 64-bit register window: per sample the 32-bit view is two
-        # shifts, and at most ONE word is pulled from `win` (every code is
-        # <= 16 bits wherever the stream is valid; longer reads only occur
-        # on already-error-flagged lanes, where desync is harmless).
-        rel = rel + 0  # header consumed below
-        hdr_q = rel >> 5
-        hdr_r = (rel & 31).astype(jnp.uint32)
-        h0 = select_word(win, hdr_q)
-        h1 = select_word(win, hdr_q + 1)
-        hdr = (h0 << hdr_r) | ((h1 >> (31 - hdr_r)) >> 1)
+        hdr = extract32(win, rel, qmax=1)  # block header: rel <= 31
         ftype = (hdr >> 30).astype(jnp.int32)
         dec_nb = ((hdr >> 26) & 0xF).astype(jnp.int32) + 1
         is_hdr0 = ftype == 0
