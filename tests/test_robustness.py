@@ -92,3 +92,48 @@ def test_kernel_vs_oracle_on_random_valid_like_streams(rng):
         outs, errs = decode_frames_batch([payload], [n], P)
         if not errs[0]:
             np.testing.assert_array_equal(outs[0], want)
+
+
+def test_differential_fuzz_jax_vs_oracle(rng):
+    """Many random signals through one compiled kernel shape: jax encode
+    must equal the oracle byte-for-byte, and decode must roundtrip."""
+    from x3_tpu.ops.decode_kernel import decode_frames
+    from x3_tpu.ops.encode_kernel import encode_frames, frame_geometry
+
+    tiny = Parameters(block_len=4, blocks_per_frame=8)  # 32 samples/frame
+    S, B, L, W = frame_geometry(tiny)
+    for trial in range(30):
+        kind = trial % 3
+        n = int(rng.integers(1, 2 * S + 1))
+        if kind == 0:
+            wav = np.clip(np.cumsum(rng.integers(-3, 4, n)), -32768, 32767).astype(np.int16)
+        elif kind == 1:
+            wav = rng.integers(-32768, 32768, n).astype(np.int16)
+        else:
+            scale = int(rng.integers(1, 2000))
+            wav = np.clip(np.cumsum(rng.integers(-scale, scale + 1, n)), -32768, 32767).astype(np.int16)
+        batch = np.zeros((2, S), np.int16)
+        nv = np.zeros(2, np.int32)
+        for i, start in enumerate(range(0, n, S)):
+            if i >= 2:
+                break
+            chunk = wav[start : start + S]
+            batch[i, : len(chunk)] = chunk
+            nv[i] = len(chunk)
+        res = encode_frames(batch, nv, tiny)
+        payload = np.ascontiguousarray(res["payload_words"]).byteswap().view(np.uint8)
+        nbytes = np.asarray(res["nbytes"])
+        crcs = np.asarray(res["crc"])
+        pos = 0
+        for i in range(2):
+            if nv[i] == 0:
+                continue
+            want, want_crc = oracle.encode_frame_payload(wav[pos : pos + nv[i]], tiny)
+            assert payload[i, : nbytes[i]].tobytes() == want, f"trial {trial} frame {i}"
+            assert crcs[i] == want_crc
+            pos += nv[i]
+        dec, err = decode_frames(payload, np.asarray(nv), tiny)
+        dec = np.asarray(dec)
+        assert not np.asarray(err)[: (n + S - 1) // S].any()
+        got = np.concatenate([dec[i, : nv[i]] for i in range(2) if nv[i]])
+        np.testing.assert_array_equal(got, wav[: len(got)])
