@@ -91,3 +91,36 @@ def test_rice_closed_form_matches_tables():
         code, bits = rice_code_closed_form(jnp.asarray(d), order)
         np.testing.assert_array_equal(np.asarray(code), rc.code, err_msg=f"code order {order}")
         np.testing.assert_array_equal(np.asarray(bits), rc.num_bits, err_msg=f"bits order {order}")
+
+
+def test_pallas_pack_mode_agrees(rng):
+    """block_pallas (interpret-mode on CPU) vs block: identical words."""
+    import jax
+
+    from x3_tpu.ops import pack_pallas
+    from x3_tpu.ops.encode_kernel import encode_frames
+
+    tiny = Parameters(block_len=4, blocks_per_frame=8)
+    wav = make_mixed(rng, 80)
+    batch = np.zeros((2, tiny.samples_per_frame), np.int16)
+    batch[0] = wav[:32]
+    batch[1, :16] = wav[32:48]
+    nv = np.array([32, 16], np.int32)
+    orig_tile = pack_pallas.LANE_TILE
+    pack_pallas.LANE_TILE = 16  # keep interpret mode fast
+    try:
+        if jax.default_backend() == "cpu":
+            orig = pack_pallas.pack_blocks_pallas
+
+            def interp(iv, il, rr, nb4, interpret):
+                return orig(iv, il, rr, nb4, True)
+
+            pack_pallas.pack_blocks_pallas = interp
+        a = encode_frames(batch, nv, tiny, "block_pallas")
+        b = encode_frames(batch, nv, tiny, "block")
+        np.testing.assert_array_equal(np.asarray(a["payload_words"]), np.asarray(b["payload_words"]))
+        np.testing.assert_array_equal(np.asarray(a["crc"]), np.asarray(b["crc"]))
+    finally:
+        pack_pallas.LANE_TILE = orig_tile
+        if jax.default_backend() == "cpu":
+            pack_pallas.pack_blocks_pallas = orig

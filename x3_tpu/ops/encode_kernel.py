@@ -125,7 +125,7 @@ def _pack_segment_sum(item_val, item_len, W: int):
     return words.reshape(F, W + 1)[:, :W], total_bits.astype(jnp.int32)
 
 
-def _pack_block_buffers(item_val, item_len, W: int, NW: int = 12):
+def _pack_block_buffers(item_val, item_len, W: int, NW: int = 12, use_pallas: bool = False):
     """Two-level TPU-native bit pack (no large scatters).
 
     item_val/item_len: uint32/int32 [F, B, I] — per-block item streams (slot 0
@@ -141,6 +141,7 @@ def _pack_block_buffers(item_val, item_len, W: int, NW: int = 12):
     ownership map).  Returns (words uint32 [F, W], total_bits int32 [F]).
     """
     F, B, I = item_val.shape
+    NB4 = NW + 3  # word slots relative to the 4-word-aligned superword base
 
     ends_in = jnp.cumsum(item_len, axis=2)
     block_bits = ends_in[:, :, -1]  # [F, B]
@@ -148,24 +149,39 @@ def _pack_block_buffers(item_val, item_len, W: int, NW: int = 12):
     block_end = jnp.cumsum(block_bits, axis=1)
     block_off = block_end - block_bits  # global bit offset of block start
     total_bits = block_end[:, -1]
+    r2 = block_off & 127  # bit offset within the block's 4-word superword
 
-    r = (block_off & 31)[:, :, None]
-    poff = poff_in + r
-    t = (poff >> 5).astype(jnp.int32)  # target word within buffer, 0..11
-    sh = 32 - (poff & 31) - item_len
-    shl = jnp.clip(sh, 0, 31).astype(jnp.uint32)
-    shr = jnp.clip(-sh, 0, 31).astype(jnp.uint32)
-    hi = jnp.where(sh >= 0, item_val << shl, item_val >> shr)
-    lo = jnp.where(sh < 0, item_val << (32 - shr), jnp.uint32(0))
+    if use_pallas:
+        from .pack_pallas import LANE_TILE, pack_blocks_pallas
 
-    # Elementwise 12-way select-accumulate: buffer[w] = sum of item pieces
-    # targeted at w (bit-disjoint, so + == |).
-    buf = []
-    for w in range(NW):
-        acc = jnp.sum(jnp.where(t == w, hi, jnp.uint32(0)), axis=2)
-        acc = acc + jnp.sum(jnp.where(t + 1 == w, lo, jnp.uint32(0)), axis=2)
-        buf.append(acc)
-    buf = jnp.stack(buf, axis=2)  # [F, B, 12]
+        N = F * B
+        pad = (-N) % LANE_TILE
+        iv = jnp.moveaxis(item_val, 2, 0).reshape(I, N)
+        il = jnp.moveaxis(item_len, 2, 0).reshape(I, N)
+        rr = r2.reshape(1, N)
+        if pad:
+            iv = jnp.pad(iv, ((0, 0), (0, pad)))
+            il = jnp.pad(il, ((0, 0), (0, pad)))
+            rr = jnp.pad(rr, ((0, 0), (0, pad)))
+        packed = pack_blocks_pallas(iv, il, rr, NB4, False)
+        buf4 = jnp.moveaxis(packed[:, :N].reshape(NB4, F, B), 0, 2)
+    else:
+        poff = poff_in + r2[:, :, None]
+        t = (poff >> 5).astype(jnp.int32)  # target word slot, 0..NB4-1
+        sh = 32 - (poff & 31) - item_len
+        shl = jnp.clip(sh, 0, 31).astype(jnp.uint32)
+        shr = jnp.clip(-sh, 0, 31).astype(jnp.uint32)
+        hi = jnp.where(sh >= 0, item_val << shl, item_val >> shr)
+        lo = jnp.where(sh < 0, item_val << (32 - shr), jnp.uint32(0))
+
+        # Elementwise select-accumulate: slot[w] = sum of item pieces
+        # targeted at w (bit-disjoint, so + == |).
+        buf4 = []
+        for w in range(NB4):
+            acc = jnp.sum(jnp.where(t == w, hi, jnp.uint32(0)), axis=2)
+            acc = acc + jnp.sum(jnp.where(t + 1 == w, lo, jnp.uint32(0)), axis=2)
+            buf4.append(acc)
+        buf4 = jnp.stack(buf4, axis=2)  # [F, B, NB4]
 
     # Merge buffers into the frame stream ON THE MXU: placing block rows at
     # their (monotone) start words is a compaction, i.e. a one-hot matmul.
@@ -176,19 +192,7 @@ def _pack_block_buffers(item_val, item_len, W: int, NW: int = 12):
     # byte planes (disjoint-bit sums are exact mod 256 in int32
     # accumulation, so + == | after masking), contracted on the MXU, and
     # the word slots realigned with static shifted adds.
-    s = (block_off >> 5).astype(jnp.int32)  # block start word, monotone
-    s_hi = s >> 2
-    s_lo = s & 3
-    NB4 = NW + 3  # word slots relative to the 4-word-aligned base
-    buf4 = []
-    for j in range(NB4):
-        v = jnp.zeros((F, B), jnp.uint32)
-        for d in range(4):
-            if 0 <= j - d < NW:
-                v = v + jnp.where(s_lo == d, buf[:, :, j - d], jnp.uint32(0))
-        buf4.append(v)
-    buf4 = jnp.stack(buf4, axis=2)  # [F, B, NB4]
-
+    s_hi = (block_off >> 7).astype(jnp.int32)  # block start superword, monotone
     WH = (W + NW) // 4 + 2  # superword columns
     b8 = jnp.stack(
         [(buf4 >> 24) & 0xFF, (buf4 >> 16) & 0xFF, (buf4 >> 8) & 0xFF, buf4 & 0xFF], axis=3
@@ -291,8 +295,10 @@ def encode_frames(samples: jax.Array, n_valid: jax.Array, params: Parameters, pa
     item_val = jnp.concatenate([first_val, hdr_val[:, :, None], val], axis=2).astype(jnp.uint32)
     item_len = jnp.concatenate([first_len, hdr_len[:, :, None], ln], axis=2)
 
-    if pack_mode == "block":
-        words, total_bits = _pack_block_buffers(item_val, item_len, W, block_buffer_words(params))
+    if pack_mode in ("block", "block_pallas"):
+        words, total_bits = _pack_block_buffers(
+            item_val, item_len, W, block_buffer_words(params), use_pallas=(pack_mode == "block_pallas")
+        )
     elif pack_mode == "segment":
         words, total_bits = _pack_segment_sum(item_val.reshape(F, -1), item_len.reshape(F, -1), W)
     else:
