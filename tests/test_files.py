@@ -186,3 +186,41 @@ def test_file_roundtrip_native_engine(tmp_path, rng):
     assert x3a_to_wav(x3a_path, back_path, engine="native") == 0
     got, _ = read_wav(back_path)
     np.testing.assert_array_equal(got, wav)
+
+
+def test_reader_stops_at_decode_error(tmp_path, rng):
+    """A frame whose payload CRC is valid but whose bitstream is invalid
+    triggers the reference's count-and-stop behavior (decodefile.rs:128-135):
+    decode_next_frame returns None at that frame, frame_errors increments,
+    and no further frames are produced."""
+    from x3_tpu.models.encoder import build_frame_headers
+    from x3_tpu.models import oracle
+    from x3_tpu.ops.crc import crc16
+
+    wav = make_hydrophone(rng, 30_000)  # 3 frames
+    wav_path, x3a_path = tmp_path / "i.wav", tmp_path / "o.x3a"
+    write_wav(wav_path, wav, 44100)
+    wav_to_x3a(wav_path, x3a_path)
+    data = bytearray(x3a_path.read_bytes())
+    hdr_size = archive.parse_archive_header(bytes(data))[1]
+    index = list(archive.walk_frames(bytes(data), hdr_size))
+    off1, h1 = index[1]
+    # Invalid BFP header (ftype 0, num_bits 3) at the start of frame 1's
+    # bitstream, with the payload CRC re-stamped so only decode fails.
+    data[off1 + 2] = 0b00_0010_00
+    new_crc = crc16(bytes(data[off1 : off1 + h1.payload_len]))
+    hdr = np.asarray(
+        build_frame_headers(
+            np.asarray([h1.samples]), 1, np.asarray([h1.payload_len]), np.asarray([new_crc])
+        )
+    )[0]
+    data[off1 - 20 : off1] = hdr.tobytes()
+    x3a_path.write_bytes(bytes(data))
+
+    reader = X3aReader.open(x3a_path, batch_frames=2)
+    first = reader.decode_next_frame()
+    np.testing.assert_array_equal(first, wav[:10_000])
+    assert reader.decode_next_frame() is None  # stops at the bad frame
+    assert reader.frame_errors == 1
+    assert reader.decode_next_frame() is None  # stays stopped
+    assert reader.frame_errors == 1

@@ -9,13 +9,15 @@ payload (SURVEY.md §5 "checkpoint/resume") — so the frame axis is the
 parallel axis: all lanes of a [F] batch step through their bitstreams in
 lockstep, every per-sample operation a branch-free vector op across frames.
 
-Fusion-friendly structure: a block consumes at most 6 + 20*16 = 326 bits, so
-each `lax.scan` step gathers ONE 12-word window per lane (the only gather),
-then decodes the whole block from that window with pure elementwise ops —
-unary zero counts via clz, Rice suffix extraction, fixed-width BFP fields —
-selected by masks.  Block outputs stack via scan ys; flattening them yields
-the sample stream directly because every block occupies exactly `block_len`
-slots.
+Fusion-friendly structure: a block's bits fit a small static window, so each
+`lax.scan` step performs ONE sliced gather per lane (a few contiguous 4-word
+slices — TPU gathers price per index, not per element) and decodes the whole
+block from registers with pure elementwise ops — unary zero counts via clz,
+Rice suffix extraction, fixed-width BFP fields — selected by masks.  The
+sample walk is unrolled for block_len <= 24 and a rolling-register lax.scan
+beyond that (compile cost O(1) in block_len).  Block outputs stack via scan
+ys; flattening them yields the sample stream directly because every block
+occupies exactly `block_len` slots.
 """
 
 from __future__ import annotations
@@ -114,9 +116,9 @@ def decode_frames(payload: jax.Array, n_samples: jax.Array, params: Parameters):
         # One sliced gather per block: K contiguous G-word slices, then
         # realign to the block's start word with (G-1)-way selects.
         sw = jnp.clip(off >> 5, 0, W - 1)
-        q = sw >> 2  # padded array: [4q, 4q+16) always in range
+        q = sw >> 2  # padded array keeps [4q, 4q+K*G) in range
         raw = jnp.take_along_axis(wg, (q[:, None] + slice_iota)[:, :, None], axis=1)
-        raw = raw.reshape(F, K * G)  # [F, 16] words starting at word 4q
+        raw = raw.reshape(F, K * G)  # [F, K*G] words starting at word 4q
         delta = sw - (q << 2)  # 0..3
         win = []
         for i in range(WIN_WORDS):

@@ -13,10 +13,11 @@ programs over a [F, S] batch of frames (SURVEY.md §7):
    bits reproduces the reference's zeros+code split exactly;
 4. exclusive prefix sums of item bit lengths yield every item's bit offset
    (this replaces the BitPacker state machine);
-5. packing is two-level and gather/scatter-free on the hot path: each block's
-   bits go into a 12-word buffer with elementwise select-accumulates, and
-   buffers are compacted into the frame's word stream ON THE MXU via a
-   one-hot byte-plane matmul (bit-disjoint contributions make + == |);
+5. packing is two-level and gather/scatter-free: each block's bits go into
+   a superword-aligned register buffer (elementwise select-accumulates or
+   the fused Pallas kernel), and buffers are compacted into the frame's
+   word stream ON THE MXU via a one-hot byte-plane matmul (bit-disjoint
+   contributions make + == |);
 6. payload CRC16 runs as a GF(2) matmul on the MXU (ops/crc_jax.py).
 
 Everything runs under one jit; frame sizes vary via a per-frame valid-sample
@@ -39,20 +40,9 @@ from .crc_jax import crc16_words_jax
 # (encoder.rs:266); BFP -> 4, pass-through -> 5.
 
 
-def _rice_tables_np(params: Parameters):
-    """Combined [3, 64] (code, nbits) tables indexed by (ftype, diff+offset),
-    plus per-ftype offsets and nsubs."""
-    codes = np.zeros((3, 64), dtype=np.int32)
-    bits = np.zeros((3, 64), dtype=np.int32)
-    offsets = np.zeros(3, dtype=np.int32)
-    nsubs = np.zeros(3, dtype=np.int32)
-    for k, rc in enumerate(params.rice_codes):
-        n = len(rc.code)
-        codes[k, :n] = rc.code
-        bits[k, :n] = rc.num_bits
-        offsets[k] = rc.offset
-        nsubs[k] = rc.nsubs
-    return codes, bits, offsets, nsubs
+def _rice_nsubs_np(params: Parameters):
+    """nsubs of the three selected Rice codes (statistics slot mapping)."""
+    return np.asarray([rc.nsubs for rc in params.rice_codes], dtype=np.int32)
 
 
 def rice_code_closed_form(d, order: int):
@@ -126,19 +116,21 @@ def _pack_segment_sum(item_val, item_len, W: int):
 
 
 def _pack_block_buffers(item_val, item_len, W: int, NW: int = 12, use_pallas: bool = False):
-    """Two-level TPU-native bit pack (no large scatters).
+    """Two-level TPU-native bit pack (no gathers or large scatters).
 
     item_val/item_len: uint32/int32 [F, B, I] — per-block item streams (slot 0
     is the frame's raw first sample, nonzero only for block 0).
 
-    Level 1 packs each block's bits into an NW-word buffer, pre-shifted
-    by the block's global (offset & 31) — all purely elementwise over [F, B]
-    lanes.  Level 2 merges buffers into the frame's word stream using the
-    span structure: every block >= 22 bits, so each output word receives the
-    first words of blocks starting in it (one tiny B-sized scatter whose
-    contributions are bit-disjoint) plus the continuation of the single last
-    block that started strictly earlier (a dense gather via a run-length
-    ownership map).  Returns (words uint32 [F, W], total_bits int32 [F]).
+    Level 1 packs each block's bits into an (NW+3)-word buffer aligned to the
+    block's enclosing 4-word superword (bit offset = block_off & 127) —
+    purely elementwise select-accumulates over [F, B] lanes (or the fused
+    Pallas kernel in ops/pack_pallas.py).  Level 2 compacts the buffers into
+    the frame's word stream on the MXU: placement of the (monotone) block
+    rows at their start superwords is a one-hot int8 byte-plane matmul —
+    exact because contributions to any output word are bit-disjoint, so
+    integer + equals | (mod-256 masked against int8 sign wraparound) —
+    followed by static shifted adds to realign the word slots.
+    Returns (words uint32 [F, W], total_bits int32 [F]).
     """
     F, B, I = item_val.shape
     NB4 = NW + 3  # word slots relative to the 4-word-aligned superword base
@@ -235,8 +227,7 @@ def encode_frames(samples: jax.Array, n_valid: jax.Array, params: Parameters, pa
     S, B, L, W = frame_geometry(params)
     F = samples.shape[0]
     t0, t1, t2 = params.thresholds
-    _, _, _, nsubs_np = _rice_tables_np(params)
-    nsubs = jnp.asarray(nsubs_np)
+    nsubs = jnp.asarray(_rice_nsubs_np(params))
 
     s = samples.astype(jnp.int32)
     n = n_valid.astype(jnp.int32)[:, None]  # [F, 1]
