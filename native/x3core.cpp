@@ -16,6 +16,8 @@
 
 #include <cstdint>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 extern "C" {
 
@@ -199,6 +201,67 @@ int64_t x3_encode(const int16_t* samples, int64_t n, const X3Params* params,
     return pos;
 }
 
+// Multithreaded stream encode: frames are self-contained, so threads take
+// contiguous frame ranges into thread-local buffers which are concatenated
+// in order.  Output is byte-identical to x3_encode (the reference runtime is
+// single-threaded; this is the framework's host-side scale-up).
+int64_t x3_encode_mt(const int16_t* samples, int64_t n, const X3Params* params,
+                     uint8_t* out, int64_t cap, int64_t* stats6, int32_t nthreads) {
+    crc_init();
+    int64_t spf = (int64_t)params->block_len * params->blocks_per_frame;
+    int64_t n_frames = n > 0 ? (n + spf - 1) / spf : 0;
+    if (nthreads <= 0) nthreads = (int32_t)std::thread::hardware_concurrency();
+    if (nthreads < 1) nthreads = 1;
+    if ((int64_t)nthreads > n_frames) nthreads = (int32_t)(n_frames ? n_frames : 1);
+    if (nthreads == 1) return x3_encode(samples, n, params, out, cap, stats6);
+
+    struct Part {
+        std::vector<uint8_t> buf;
+        int64_t stats[6] = {0, 0, 0, 0, 0, 0};
+        int64_t wrote = 0;
+        bool failed = false;
+    };
+    std::vector<Part> parts(nthreads);
+    int64_t frames_per = (n_frames + nthreads - 1) / nthreads;
+
+    auto work = [&](int32_t t) {
+        Part& p = parts[t];
+        int64_t f0 = (int64_t)t * frames_per;
+        int64_t f1 = f0 + frames_per < n_frames ? f0 + frames_per : n_frames;
+        if (f0 >= f1) return;
+        // Worst case ~2.1 bytes/sample incl. headers; cap generously.
+        p.buf.resize((size_t)((f1 - f0) * (spf * 2 + 64)));
+        int64_t pos = 0;
+        for (int64_t f = f0; f < f1; f++) {
+            int64_t start = f * spf;
+            int32_t fn = (int32_t)((n - start) < spf ? (n - start) : spf);
+            int64_t wrote = encode_frame(samples + start, fn, params,
+                                         p.buf.data() + pos, (int64_t)p.buf.size() - pos, p.stats);
+            if (wrote < 0) { p.failed = true; return; }
+            pos += wrote;
+        }
+        p.wrote = pos;
+    };
+    std::vector<std::thread> threads;
+    for (int32_t t = 0; t < nthreads; t++) threads.emplace_back(work, t);
+    for (auto& th : threads) th.join();
+
+    int64_t total = 0;
+    for (auto& p : parts) {
+        if (p.failed) return -1;
+        total += p.wrote;
+    }
+    if (total > cap) return -1;
+    int64_t pos = 0;
+    for (auto& p : parts) {
+        memcpy(out + pos, p.buf.data(), (size_t)p.wrote);
+        pos += p.wrote;
+        if (stats6)
+            for (int i = 0; i < 6; i++) stats6[i] += p.stats[i];
+    }
+    return total;
+}
+
 // ---------------------------------------------------------------------------
 // Decoder (decoder.rs:36-235; bitreader.rs semantics)
 // ---------------------------------------------------------------------------
@@ -291,6 +354,45 @@ int32_t x3_decode_frame(const uint8_t* payload, int64_t payload_len,
             }
         }
         done += len;
+    }
+    return 0;
+}
+
+// Multithreaded frame-parallel decode: each frame's output position is the
+// running sum of preceding frame sample counts, so threads write disjoint
+// output ranges directly.  Returns 0, or the (negative) error code of the
+// first failing frame; err_frame (if non-null) receives its index.
+int32_t x3_decode_frames_mt(const uint8_t* data, const int64_t* payload_offsets,
+                            const int32_t* samples, const int32_t* payload_lens,
+                            int64_t n_frames, const X3Params* params,
+                            int16_t* wav_out, int64_t* err_frame, int32_t nthreads) {
+    crc_init();
+    std::vector<int64_t> out_pos((size_t)n_frames + 1, 0);
+    for (int64_t i = 0; i < n_frames; i++) out_pos[(size_t)i + 1] = out_pos[(size_t)i] + samples[i];
+    if (nthreads <= 0) nthreads = (int32_t)std::thread::hardware_concurrency();
+    if (nthreads < 1) nthreads = 1;
+    if ((int64_t)nthreads > n_frames) nthreads = (int32_t)(n_frames ? n_frames : 1);
+
+    std::vector<int32_t> rcs(nthreads, 0);
+    std::vector<int64_t> bad(nthreads, -1);
+    int64_t frames_per = (n_frames + nthreads - 1) / nthreads;
+    auto work = [&](int32_t t) {
+        int64_t f0 = (int64_t)t * frames_per;
+        int64_t f1 = f0 + frames_per < n_frames ? f0 + frames_per : n_frames;
+        for (int64_t f = f0; f < f1; f++) {
+            int32_t rc = x3_decode_frame(data + payload_offsets[f], payload_lens[f],
+                                         params, samples[f], wav_out + out_pos[(size_t)f]);
+            if (rc != 0) { rcs[t] = rc; bad[t] = f; return; }
+        }
+    };
+    std::vector<std::thread> threads;
+    for (int32_t t = 0; t < nthreads; t++) threads.emplace_back(work, t);
+    for (auto& th : threads) th.join();
+    for (int32_t t = 0; t < nthreads; t++) {
+        if (rcs[t] != 0) {
+            if (err_frame) *err_frame = bad[t];
+            return rcs[t];
+        }
     }
     return 0;
 }

@@ -75,3 +75,16 @@ def test_native_fuzz_vs_oracle(rng):
         frames = native.index_frames(stream, 0)
         out = np.concatenate([native.decode_frame(stream[o : o + pl], P, s) for o, s, pl in frames])
         np.testing.assert_array_equal(out, wav)
+
+
+def test_native_mt_encode_identical(rng):
+    wav = make_hydrophone(rng, 47_000)
+    assert native.encode(wav, P, nthreads=4) == native.encode(wav, P, nthreads=1)
+
+
+def test_native_mt_decode(rng):
+    wav = make_mixed(rng, 35_000)
+    stream = native.encode(wav, P)
+    index = native.index_frames(stream, 0)
+    out = native.decode_frames_mt(stream, index, P, nthreads=4)
+    np.testing.assert_array_equal(out, wav)

@@ -89,7 +89,21 @@ def x3a_to_wav(
             if engine == "native":
                 from . import native as native_mod
 
-                dec = lambda p, n: native_mod.decode_frame(p, spec.params, n)
+                try:
+                    # Fast path: frame-parallel native decode of the batch.
+                    nat_index = [(off, h.samples, h.payload_len) for off, h in batch]
+                    flat = native_mod.decode_frames_mt(data, nat_index, spec.params)
+                    outs, errs, pos = [], [], 0
+                    for _, h in batch:
+                        outs.append(flat[pos : pos + h.samples])
+                        errs.append(False)
+                        pos += h.samples
+                    errs = np.asarray(errs)
+                    chunks.extend(outs)
+                    continue
+                except X3Error:
+                    # Fall through to per-frame decode for error accounting.
+                    dec = lambda p, n: native_mod.decode_frame(p, spec.params, n)
             else:
                 dec = lambda p, n: oracle.decode_frame(p, spec.params, n)
             outs, errs = [], []

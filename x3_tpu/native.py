@@ -71,6 +71,17 @@ def load():
         ctypes.c_void_p, ctypes.c_int64, ctypes.POINTER(_CParams),
         ctypes.c_int32, ctypes.c_void_p,
     ]
+    lib.x3_encode_mt.restype = ctypes.c_int64
+    lib.x3_encode_mt.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.POINTER(_CParams),
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int32,
+    ]
+    lib.x3_decode_frames_mt.restype = ctypes.c_int32
+    lib.x3_decode_frames_mt.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.POINTER(_CParams), ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int32,
+    ]
     lib.x3_index_frames.restype = ctypes.c_int64
     lib.x3_index_frames.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
@@ -90,8 +101,11 @@ def crc16(data: bytes) -> int:
     return int(lib.x3_crc16(buf.ctypes.data_as(ctypes.c_void_p), len(buf)))
 
 
-def encode(samples, params: Parameters | None = None, stats=None) -> bytes:
-    """Native scalar encode of a full stream (frames incl. headers)."""
+def encode(samples, params: Parameters | None = None, stats=None, nthreads: int = 1) -> bytes:
+    """Native scalar encode of a full stream (frames incl. headers).
+
+    nthreads > 1 (or 0 = all cores) encodes frame ranges in parallel with
+    byte-identical output (frames are self-contained)."""
     lib = load()
     if lib is None:
         raise X3Error("native library unavailable")
@@ -103,16 +117,53 @@ def encode(samples, params: Parameters | None = None, stats=None) -> bytes:
     cap = 2 * n + 64 * (n // params.samples_per_frame + 2)
     out = np.zeros(cap, dtype=np.uint8)
     st = np.zeros(6, dtype=np.int64)
-    wrote = lib.x3_encode(
-        samples.ctypes.data_as(ctypes.c_void_p), n, ctypes.byref(_cparams(params)),
-        out.ctypes.data_as(ctypes.c_void_p), cap, st.ctypes.data_as(ctypes.c_void_p),
-    )
+    if nthreads == 1:
+        wrote = lib.x3_encode(
+            samples.ctypes.data_as(ctypes.c_void_p), n, ctypes.byref(_cparams(params)),
+            out.ctypes.data_as(ctypes.c_void_p), cap, st.ctypes.data_as(ctypes.c_void_p),
+        )
+    else:
+        wrote = lib.x3_encode_mt(
+            samples.ctypes.data_as(ctypes.c_void_p), n, ctypes.byref(_cparams(params)),
+            out.ctypes.data_as(ctypes.c_void_p), cap, st.ctypes.data_as(ctypes.c_void_p),
+            nthreads,
+        )
     if wrote < 0:
         raise X3Error("native encode overflow")
     if stats is not None:
         for i in range(6):
             stats[i] += int(st[i])
     return out[:wrote].tobytes()
+
+
+def decode_frames_mt(data: bytes, index, params: Parameters, nthreads: int = 0) -> np.ndarray:
+    """Frame-parallel native decode of an indexed frame stream.
+
+    index: list of (payload_offset, samples, payload_len) as returned by
+    index_frames.  Returns the concatenated int16 samples."""
+    lib = load()
+    if lib is None:
+        raise X3Error("native library unavailable")
+    buf = np.frombuffer(bytes(data), dtype=np.uint8)
+    offs = np.asarray([o for o, _, _ in index], dtype=np.int64)
+    samp = np.asarray([s for _, s, _ in index], dtype=np.int32)
+    plens = np.asarray([l for _, _, l in index], dtype=np.int32)
+    total = int(samp.sum())
+    wav = np.zeros(total, dtype=np.int16)
+    err_frame = np.zeros(1, dtype=np.int64)
+    rc = lib.x3_decode_frames_mt(
+        buf.ctypes.data_as(ctypes.c_void_p), offs.ctypes.data_as(ctypes.c_void_p),
+        samp.ctypes.data_as(ctypes.c_void_p), plens.ctypes.data_as(ctypes.c_void_p),
+        len(index), ctypes.byref(_cparams(params)), wav.ctypes.data_as(ctypes.c_void_p),
+        err_frame.ctypes.data_as(ctypes.c_void_p), nthreads,
+    )
+    if rc == -2:
+        raise FrameDecodeInvalidBPF(f"native decode: invalid BFP (frame {int(err_frame[0])})")
+    if rc == -3:
+        raise OutOfBoundsInverse(f"native decode: inverse OOB (frame {int(err_frame[0])})")
+    if rc != 0:
+        raise X3Error(f"native decode failed ({rc})")
+    return wav
 
 
 def decode_frame(payload: bytes, params: Parameters, samples: int) -> np.ndarray:
