@@ -229,8 +229,9 @@ int64_t x3_encode_mt(const int16_t* samples, int64_t n, const X3Params* params,
         int64_t f0 = (int64_t)t * frames_per;
         int64_t f1 = f0 + frames_per < n_frames ? f0 + frames_per : n_frames;
         if (f0 >= f1) return;
-        // Worst case ~2.1 bytes/sample incl. headers; cap generously.
-        p.buf.resize((size_t)((f1 - f0) * (spf * 2 + 64)));
+        // Worst case (incompressible): ~2 bytes/sample payload + headers
+        // and alignment overhead; cap with slack.
+        p.buf.resize((size_t)((f1 - f0) * (spf * 2 + spf / 8 + 128)));
         int64_t pos = 0;
         for (int64_t f = f0; f < f1; f++) {
             int64_t start = f * spf;

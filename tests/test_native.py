@@ -88,3 +88,12 @@ def test_native_mt_decode(rng):
     index = native.index_frames(stream, 0)
     out = native.decode_frames_mt(stream, index, P, nthreads=4)
     np.testing.assert_array_equal(out, wav)
+
+
+def test_native_encode_white_noise_caps(rng):
+    """Incompressible input expands ~1.02x; buffer caps must cover it
+    (regression: the corpus gate caught an overflow here)."""
+    wav = rng.integers(-32768, 32768, 123_456).astype(np.int16)
+    a = native.encode(wav, P)
+    b = native.encode(wav, P, nthreads=4)
+    assert a == b == oracle.encode(wav, P)

@@ -114,7 +114,9 @@ def encode(samples, params: Parameters | None = None, stats=None, nthreads: int 
     n = len(samples)
     if n == 0:
         return b""
-    cap = 2 * n + 64 * (n // params.samples_per_frame + 2)
+    # Worst case (incompressible input) expands: ~16 bits/sample payload
+    # plus per-frame header/align overhead.
+    cap = 2 * n + n // 8 + 1024 + 64 * (n // params.samples_per_frame + 2)
     out = np.zeros(cap, dtype=np.uint8)
     st = np.zeros(6, dtype=np.int64)
     if nthreads == 1:
