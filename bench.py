@@ -82,22 +82,37 @@ def main():
     )
     dev_encode_mbs = in_mb / timed(enc_sync, (dev_frames, dev_nvalid), reps)
 
-    # --- device decode (512-frame batches keep the payload VMEM-resident) ---
-    out = encode_frames(dev_frames, dev_nvalid, params)
-    payload = np.ascontiguousarray(out["payload_words"]).byteswap().view(np.uint8)
-    comp_mb = float(np.asarray(out["nbytes"]).sum()) / 1e6
+    # --- device decode (512-frame batches keep the payload VMEM-resident;
+    #     payload bytes are produced on-device so the tunnel's slow D2H
+    #     path never enters the measurement) ---
     dec_batch = min(batch_frames, 512)
-    dev_payload = jax.device_put(payload[:dec_batch])
+    dec_frames_in = dev_frames[:dec_batch]
     dec_nvalid = jax.device_put(n_valid[:dec_batch])
+
+    @jax.jit
+    def make_payload(s, n):
+        o = encode_frames(s, n, params)
+        w = o["payload_words"]
+        shifts = jnp.asarray([24, 16, 8, 0], dtype=jnp.uint32)
+        pb = ((w[:, :, None] >> shifts[None, None, :]) & 0xFF).astype(jnp.uint8)
+        return pb.reshape(w.shape[0], -1), o["nbytes"]
+
+    dev_payload, dec_nbytes = make_payload(dec_frames_in, dec_nvalid)
+    jax.block_until_ready(dev_payload)
+    comp_mb = float(np.asarray(encode_frames(dev_frames, dev_nvalid, params)["nbytes"]).sum()) / 1e6
     dec_mb = dec_batch * spf * 2 / 1e6
     dec_sync = jax.jit(
         lambda pb, n: (lambda de: jnp.sum(de[0].astype(jnp.int32)) + de[1].sum())(decode_frames(pb, n, params))
     )
     dev_decode_mbs = dec_mb / timed(dec_sync, (dev_payload, dec_nvalid), reps)
 
-    # --- decode correctness on the bench corpus ---
-    dec, err = decode_frames(dev_payload, dec_nvalid, params)
-    decode_exact = bool(np.array_equal(np.asarray(dec), frames[:dec_batch])) and not bool(np.asarray(err).any())
+    # --- decode correctness on the bench corpus (compared on device) ---
+    @jax.jit
+    def check(pb, n, s):
+        de, err = decode_frames(pb, n, params)
+        return jnp.all(de == s) & ~err.any()
+
+    decode_exact = bool(check(dev_payload, dec_nvalid, dec_frames_in))
 
     # --- end-to-end encode (host framing + transfers + assembly) ---
     res = encode(wav, params, batch_frames=batch_frames)  # warm
