@@ -158,13 +158,24 @@ def _pack_block_buffers(item_val, item_len, W: int, NW: int = 12, use_pallas: bo
         packed = pack_blocks_pallas(iv, il, rr, NB4, False)
         buf4 = jnp.moveaxis(packed[:, :N].reshape(NB4, F, B), 0, 2)
     else:
-        poff = poff_in + r2[:, :, None]
-        t = (poff >> 5).astype(jnp.int32)  # target word slot, 0..NB4-1
-        sh = 32 - (poff & 31) - item_len
+        # Pre-merge adjacent item pairs: each item is <= 16 bits, so a pair
+        # concatenates into one <= 32-bit item — halving the select-
+        # accumulate loop below (its cost is O(items * NB4)).
+        if I % 2:
+            item_val = jnp.concatenate([item_val, jnp.zeros((F, B, 1), jnp.uint32)], axis=2)
+            item_len = jnp.concatenate([item_len, jnp.zeros((F, B, 1), jnp.int32)], axis=2)
+        v0, v1 = item_val[:, :, 0::2], item_val[:, :, 1::2]
+        l0, l1 = item_len[:, :, 0::2], item_len[:, :, 1::2]
+        mval = (v0 << jnp.clip(l1, 0, 31).astype(jnp.uint32)) | v1
+        mlen = l0 + l1
+        mpoff = jnp.cumsum(mlen, axis=2) - mlen + r2[:, :, None]
+
+        t = (mpoff >> 5).astype(jnp.int32)  # target word slot, 0..NB4-1
+        sh = 32 - (mpoff & 31) - mlen  # in [-31, 30] for <= 32-bit items
         shl = jnp.clip(sh, 0, 31).astype(jnp.uint32)
         shr = jnp.clip(-sh, 0, 31).astype(jnp.uint32)
-        hi = jnp.where(sh >= 0, item_val << shl, item_val >> shr)
-        lo = jnp.where(sh < 0, item_val << (32 - shr), jnp.uint32(0))
+        hi = jnp.where(sh >= 0, mval << shl, mval >> shr)
+        lo = jnp.where(sh < 0, mval << (32 - shr), jnp.uint32(0))
 
         # Elementwise select-accumulate: slot[w] = sum of item pieces
         # targeted at w (bit-disjoint, so + == |).
