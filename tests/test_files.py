@@ -224,3 +224,45 @@ def test_reader_stops_at_decode_error(tmp_path, rng):
     assert reader.frame_errors == 1
     assert reader.decode_next_frame() is None  # stays stopped
     assert reader.frame_errors == 1
+
+
+def test_cli_numpy_engine(tmp_path, rng):
+    wav = make_hydrophone(rng, 2_000)
+    wav_path, x3a_path, back = tmp_path / "i.wav", tmp_path / "o.x3a", tmp_path / "b.wav"
+    write_wav(wav_path, wav, 44100)
+    from x3_tpu.cli import main
+
+    main(["-i", str(wav_path), "-o", str(x3a_path), "--engine", "numpy", "-q"])
+    main(["-i", str(x3a_path), "-o", str(back), "--engine", "numpy", "-q"])
+    got, _ = read_wav(back)
+    np.testing.assert_array_equal(got, wav)
+
+
+def test_stereo_wav_rejected(tmp_path):
+    import wave
+
+    from x3_tpu.errors import MoreThanOneChannel
+
+    path = tmp_path / "stereo.wav"
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(44100)
+        w.writeframes(b"\x00" * 400)
+    with pytest.raises(MoreThanOneChannel):
+        wav_to_x3a(path, tmp_path / "o.x3a")
+
+
+def test_8bit_wav_rejected(tmp_path):
+    import wave
+
+    from x3_tpu.errors import X3Error
+
+    path = tmp_path / "8bit.wav"
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(44100)
+        w.writeframes(b"\x00" * 100)
+    with pytest.raises(X3Error):
+        wav_to_x3a(path, tmp_path / "o.x3a")

@@ -171,4 +171,4 @@ def x3a_to_wav_batch(
     decoded = decode_streams(archives, batch_frames, mesh)
     for path, (samples, rate) in zip(wav_filenames, decoded):
         write_wav(path, samples, rate)
-    return [n for n, _ in ((len(s), r) for s, r in decoded)]
+    return [len(samples) for samples, _ in decoded]
