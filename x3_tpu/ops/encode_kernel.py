@@ -122,7 +122,7 @@ def _pack_block_buffers(item_val, item_len, W: int, NW: int = 12, use_pallas: bo
     is the frame's raw first sample, nonzero only for block 0).
 
     Level 1 packs each block's bits into an (NW+3)-word buffer aligned to the
-    block's enclosing 4-word superword (bit offset = block_off & 127) —
+    block's enclosing GR-word superword —
     purely elementwise select-accumulates over [F, B] lanes (or the fused
     Pallas kernel in ops/pack_pallas.py).  Level 2 compacts the buffers into
     the frame's word stream on the MXU: placement of the (monotone) block
@@ -133,7 +133,8 @@ def _pack_block_buffers(item_val, item_len, W: int, NW: int = 12, use_pallas: bo
     Returns (words uint32 [F, W], total_bits int32 [F]).
     """
     F, B, I = item_val.shape
-    NB4 = NW + 3  # word slots relative to the 4-word-aligned superword base
+    GR = 8  # placement granularity in words (one-hot column = GR words)
+    NB4 = NW + GR - 1  # word slots relative to the GR-word-aligned base
 
     ends_in = jnp.cumsum(item_len, axis=2)
     block_bits = ends_in[:, :, -1]  # [F, B]
@@ -141,7 +142,7 @@ def _pack_block_buffers(item_val, item_len, W: int, NW: int = 12, use_pallas: bo
     block_end = jnp.cumsum(block_bits, axis=1)
     block_off = block_end - block_bits  # global bit offset of block start
     total_bits = block_end[:, -1]
-    r2 = block_off & 127  # bit offset within the block's 4-word superword
+    r2 = block_off & (32 * GR - 1)  # bit offset within the GR-word superword
 
     if use_pallas:
         from .pack_pallas import LANE_TILE, pack_blocks_pallas
@@ -195,8 +196,8 @@ def _pack_block_buffers(item_val, item_len, W: int, NW: int = 12, use_pallas: bo
     # byte planes (disjoint-bit sums are exact mod 256 in int32
     # accumulation, so + == | after masking), contracted on the MXU, and
     # the word slots realigned with static shifted adds.
-    s_hi = (block_off >> 7).astype(jnp.int32)  # block start superword, monotone
-    WH = (W + NW) // 4 + 2  # superword columns
+    s_hi = (block_off >> (5 + GR.bit_length() - 1)).astype(jnp.int32)  # start superword
+    WH = (W + NW) // GR + 2  # superword columns
     b8 = jnp.stack(
         [(buf4 >> 24) & 0xFF, (buf4 >> 16) & 0xFF, (buf4 >> 8) & 0xFF, buf4 & 0xFF], axis=3
     ).astype(jnp.int8).reshape(F, B, NB4 * 4)
@@ -208,18 +209,18 @@ def _pack_block_buffers(item_val, item_len, W: int, NW: int = 12, use_pallas: bo
     placed = placed.astype(jnp.uint32) & 0xFF
     pw = (placed[..., 0] << 24) | (placed[..., 1] << 16) | (placed[..., 2] << 8) | placed[..., 3]
 
-    # out[4t + rr] = sum_{m} pw[t - m, rr + 4m]
-    n_m = -(-NB4 // 4)
+    # out[GR*t + rr] = sum_{m} pw[t - m, rr + GR*m]
+    n_m = -(-NB4 // GR)
     res_cols = []
-    for rr in range(4):
+    for rr in range(GR):
         acc = jnp.zeros((F, WH), jnp.uint32)
         for m in range(n_m):
-            j = rr + 4 * m
+            j = rr + GR * m
             if j < NB4:
                 col = pw[:, : WH - m, j]
                 acc = acc + jnp.concatenate([jnp.zeros((F, m), col.dtype), col], axis=1)
         res_cols.append(acc)
-    words = jnp.stack(res_cols, axis=2).reshape(F, WH * 4)[:, :W]
+    words = jnp.stack(res_cols, axis=2).reshape(F, WH * GR)[:, :W]
     return words, total_bits.astype(jnp.int32)
 
 
