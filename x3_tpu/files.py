@@ -71,10 +71,13 @@ def x3a_to_wav(
         print(f"thresholds: {t[0]},{t[1]},{t[2]}")
 
     index = list(archive.walk_frames(data, header_size, resync=resync))
-    crc_ok = archive.verify_payload_crcs(data, index)
-    if not resync and not crc_ok.all():
-        bad = int(np.nonzero(~crc_ok)[0][0])
-        raise FrameHeaderInvalidPayloadCRC(f"frame {bad} payload CRC mismatch")
+    if engine == "jax":
+        crc_ok = None  # verified on device, fused into the decode batches
+    else:
+        crc_ok = archive.verify_payload_crcs(data, index)
+        if not resync and not crc_ok.all():
+            bad = int(np.nonzero(~crc_ok)[0][0])
+            raise FrameHeaderInvalidPayloadCRC(f"frame {bad} payload CRC mismatch")
 
     frame_errors = 0
     chunks: list[np.ndarray] = []
@@ -116,8 +119,14 @@ def x3a_to_wav(
                     errs.append(True)
             errs = np.asarray(errs)
         else:
-            outs, errs = decode_frames_batch(payloads, ns, spec.params)
-        if resync:
+            want_crcs = [h.payload_crc for _, h in batch]
+            outs, errs, batch_crc_ok = decode_frames_batch(payloads, ns, spec.params, check_crcs=want_crcs)
+            if not resync and not batch_crc_ok.all():
+                bad = base + int(np.nonzero(~batch_crc_ok)[0][0])
+                raise FrameHeaderInvalidPayloadCRC(f"frame {bad} payload CRC mismatch")
+            if resync:
+                errs = errs | ~batch_crc_ok
+        if resync and crc_ok is not None:
             errs = errs | ~crc_ok[base : base + len(batch)]
         for i, (out, err) in enumerate(zip(outs, errs)):
             if err:

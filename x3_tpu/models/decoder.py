@@ -15,29 +15,40 @@ from . import oracle
 DEFAULT_BATCH_FRAMES = 256
 
 
-def decode_frames_batch(payloads, n_samples, params: Parameters | None = None):
+def decode_frames_batch(payloads, n_samples, params: Parameters | None = None, check_crcs=None):
     """Decode a list of frame payloads (bytes) with their sample counts.
 
     Returns (list of int16 arrays, err bool array).  Lanes are padded to the
-    pipeline's static payload size; errors are per-frame flags."""
-    from ..ops.decode_kernel import decode_frames
+    pipeline's static payload size; errors are per-frame flags.
+
+    check_crcs: optional list of expected payload CRC16s — when given, the
+    CRCs are verified ON DEVICE (fused MXU matmul) and mismatches are
+    reported as a third return value (crc_ok bool array)."""
+    from ..ops.decode_kernel import decode_frames, decode_frames_checked
     from ..ops.encode_kernel import frame_geometry
 
     params = params or Parameters()
     S, B, L, W = frame_geometry(params)
     f = len(payloads)
     if f == 0:
-        return [], np.zeros(0, bool)
+        return ([], np.zeros(0, bool)) if check_crcs is None else ([], np.zeros(0, bool), np.zeros(0, bool))
     buf = np.zeros((f, W * 4), dtype=np.uint8)
     ns = np.zeros(f, dtype=np.int32)
+    plens = np.zeros(f, dtype=np.int32)
     for i, (p, n) in enumerate(zip(payloads, n_samples)):
         arr = np.frombuffer(p, dtype=np.uint8)
         buf[i, : len(arr)] = arr
         ns[i] = n
-    out, err = decode_frames(buf, ns, params)
+        plens[i] = len(arr)
+    if check_crcs is not None:
+        out, err, crc = decode_frames_checked(buf, ns, plens, params)
+        crc_ok = np.asarray(crc) == np.asarray(check_crcs, dtype=np.int64)
+    else:
+        out, err = decode_frames(buf, ns, params)
     out = np.asarray(out)
     err = np.asarray(err)
-    return [out[i, : ns[i]].copy() for i in range(f)], err
+    outs = [out[i, : ns[i]].copy() for i in range(f)]
+    return (outs, err) if check_crcs is None else (outs, err, crc_ok)
 
 
 def decode_frame(payload: bytes, params: Parameters, samples: int, engine: str = "jax") -> np.ndarray:

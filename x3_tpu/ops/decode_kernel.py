@@ -55,6 +55,20 @@ def _inv_rice(i):
     return jnp.where((i & 1) == 1, -half, half)
 
 
+@functools.partial(jax.jit, static_argnums=(3,))
+def decode_frames_checked(payload: jax.Array, n_samples: jax.Array, payload_lens: jax.Array, params: Parameters):
+    """decode_frames plus device-side payload CRC16 (the batched integrity
+    check of SURVEY.md §5): returns (samples, err, crc int32 [F]).  The CRC
+    rides the MXU matmul over the words the decoder already built, so the
+    file pipeline needs no host CRC pass at all."""
+    from .crc_jax import crc16_words_jax
+
+    S, B, L, W = frame_geometry(params)
+    out, err, words = _decode_impl(payload, n_samples, params)
+    crc = crc16_words_jax(words, payload_lens.astype(jnp.int32), W)
+    return out, err, crc.astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnums=(2,))
 def decode_frames(payload: jax.Array, n_samples: jax.Array, params: Parameters):
     """Decode a batch of frame payloads.
@@ -62,6 +76,11 @@ def decode_frames(payload: jax.Array, n_samples: jax.Array, params: Parameters):
     payload: uint8 [F, W*4] zero-padded payload bytes (W from frame_geometry)
     n_samples: int32 [F] — sample count per frame (0 = dummy lane)
     Returns (samples int16 [F, S], err bool [F])."""
+    out, err, _ = _decode_impl(payload, n_samples, params)
+    return out, err
+
+
+def _decode_impl(payload: jax.Array, n_samples: jax.Array, params: Parameters):
     S, B, L, W = frame_geometry(params)
     WIN_WORDS = block_buffer_words(params)  # covers any block + start skew
     F = payload.shape[0]
@@ -231,4 +250,4 @@ def decode_frames(payload: jax.Array, n_samples: jax.Array, params: Parameters):
     flat = jnp.transpose(blocks, (1, 0, 2)).reshape(F, B * L)
     out = jnp.concatenate([first[:, None], flat[:, : S - 1]], axis=1)
     err = err | (off > jnp.int32(W * 32))
-    return out.astype(jnp.int16), err
+    return out.astype(jnp.int16), err, words
