@@ -80,3 +80,26 @@ def test_decode_vs_oracle_per_frame(rng):
     want = oracle.decode_frame(payload, P, ns)
     got = decode_frame(payload, P, ns)
     np.testing.assert_array_equal(got, want)
+
+
+def test_decode_frames_checked_crc(rng):
+    """Device-fused CRC: matches the true payload CRC; flags corruption."""
+    from x3_tpu.ops.crc import crc16
+    from x3_tpu.ops.decode_kernel import decode_frames_checked
+    from x3_tpu.ops.encode_kernel import frame_geometry
+
+    S, B, L, W = frame_geometry(P)
+    wav = make_hydrophone(rng, 10_000)
+    payload, want_crc = oracle.encode_frame_payload(wav, P)
+    bad = bytearray(payload)
+    bad[7] ^= 0x10
+    buf = np.zeros((2, W * 4), np.uint8)
+    buf[0, : len(payload)] = np.frombuffer(payload, np.uint8)
+    buf[1, : len(bad)] = np.frombuffer(bytes(bad), np.uint8)
+    ns = np.array([10_000, 10_000], np.int32)
+    plens = np.array([len(payload), len(bad)], np.int32)
+    out, err, crc = decode_frames_checked(buf, ns, plens, P)
+    crc = np.asarray(crc)
+    assert crc[0] == want_crc == crc16(payload)
+    assert crc[1] == crc16(bytes(bad)) != want_crc
+    np.testing.assert_array_equal(np.asarray(out)[0], wav)

@@ -172,11 +172,13 @@ class X3aReader:
         batch = self._index[base : base + self._batch_frames]
         payloads = [self._data[off : off + h.payload_len] for off, h in batch]
         ns = [h.samples for _, h in batch]
-        # Payload CRC check (decodefile.rs:93-103) raises like the reference.
-        ok = archive.verify_payload_crcs(self._data, batch)
-        if not ok.all():
-            bad = base + int(np.nonzero(~ok)[0][0])
-            raise FrameHeaderInvalidPayloadCRC(f"frame {bad} payload CRC mismatch")
+        # Payload CRC check (decodefile.rs:93-103) raises like the reference;
+        # the jax engine verifies on device, fused into the decode batch.
+        if self._engine != "jax":
+            ok = archive.verify_payload_crcs(self._data, batch)
+            if not ok.all():
+                bad = base + int(np.nonzero(~ok)[0][0])
+                raise FrameHeaderInvalidPayloadCRC(f"frame {bad} payload CRC mismatch")
         if self._engine in ("numpy", "native"):
             if self._engine == "native":
                 from . import native as native_mod
@@ -190,7 +192,13 @@ class X3aReader:
                 except X3Error:
                     self._cache[base + i] = None
         else:
-            outs, errs = decode_frames_batch(payloads, ns, self._spec.params)
+            want_crcs = [h.payload_crc for _, h in batch]
+            outs, errs, crc_ok = decode_frames_batch(
+                payloads, ns, self._spec.params, check_crcs=want_crcs
+            )
+            if not crc_ok.all():
+                bad = base + int(np.nonzero(~crc_ok)[0][0])
+                raise FrameHeaderInvalidPayloadCRC(f"frame {bad} payload CRC mismatch")
             for i, (out, err) in enumerate(zip(outs, errs)):
                 self._cache[base + i] = None if err else out
 
