@@ -24,6 +24,8 @@ import time
 
 import numpy as np
 
+# For subprocesses; the in-process config is set in main() (jax may already
+# be imported by the sandbox sitecustomize, making env vars too late).
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/x3_tpu_jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
@@ -53,6 +55,9 @@ def timed(fn, args, reps: int) -> float:
 def main():
     import jax
     import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/x3_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from x3_tpu.models import oracle
     from x3_tpu.models.encoder import encode
@@ -95,9 +100,9 @@ def main():
         w = o["payload_words"]
         shifts = jnp.asarray([24, 16, 8, 0], dtype=jnp.uint32)
         pb = ((w[:, :, None] >> shifts[None, None, :]) & 0xFF).astype(jnp.uint8)
-        return pb.reshape(w.shape[0], -1), o["nbytes"]
+        return pb.reshape(w.shape[0], -1), o["nbytes"]  # nbytes kept for debugging
 
-    dev_payload, dec_nbytes = make_payload(dec_frames_in, dec_nvalid)
+    dev_payload, _ = make_payload(dec_frames_in, dec_nvalid)
     jax.block_until_ready(dev_payload)
     comp_mb = float(np.asarray(encode_frames(dev_frames, dev_nvalid, params)["nbytes"]).sum()) / 1e6
     dec_mb = dec_batch * spf * 2 / 1e6

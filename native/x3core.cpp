@@ -103,6 +103,7 @@ static inline void bw_flush_bytes(BitWriter* bw) {
 }
 
 static inline void bw_bits(BitWriter* bw, uint32_t value, int32_t n) {
+    if (bw->overflow) return;  // stop accumulating (acc_bits would overflow)
     value &= (n >= 32) ? 0xffffffffu : ((1u << n) - 1);
     bw->acc = (bw->acc << n) | value;
     bw->acc_bits += n;
@@ -139,7 +140,7 @@ static int64_t encode_frame(const int16_t* wav, int32_t n, const X3Params* p,
     bw_bits(&bw, (uint16_t)wav[0], 16);
 
     int32_t bl = p->block_len;
-    for (int32_t start = 1; start < n; start += bl) {
+    for (int32_t start = 1; start < n && !bw.overflow; start += bl) {
         int32_t len = (n - start) < bl ? (n - start) : bl;
         // block diffs + max |diff|
         int32_t max_abs = 0;
@@ -158,10 +159,8 @@ static int64_t encode_frame(const int16_t* wav, int32_t n, const X3Params* p,
                 rice_closed_form(d, order, &code, &bits);
                 bw_bits(&bw, code, bits);
             }
-            if (stats) {
-                static const int nsubs_of[4] = {0, 1, 2, 3};
-                stats[nsubs_of[order]] += len;
-            }
+            // statistics slot = nsubs of the code, which equals its order
+            if (stats) stats[order] += len;
         } else {
             int32_t nb = 0;
             for (uint32_t v = (uint32_t)max_abs; v; v >>= 1) nb++;
@@ -229,9 +228,9 @@ int64_t x3_encode_mt(const int16_t* samples, int64_t n, const X3Params* params,
         int64_t f0 = (int64_t)t * frames_per;
         int64_t f1 = f0 + frames_per < n_frames ? f0 + frames_per : n_frames;
         if (f0 >= f1) return;
-        // Worst case (incompressible): ~2 bytes/sample payload + headers
-        // and alignment overhead; cap with slack.
-        p.buf.resize((size_t)((f1 - f0) * (spf * 2 + spf / 8 + 128)));
+        // Worst case (incompressible): 2 bytes/sample payload, a 6-bit
+        // header per block, and per-frame header/align overhead.
+        p.buf.resize((size_t)((f1 - f0) * (spf * 2 + spf / params->block_len + 128)));
         int64_t pos = 0;
         for (int64_t f = f0; f < f1; f++) {
             int64_t start = f * spf;

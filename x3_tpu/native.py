@@ -40,14 +40,21 @@ def _cparams(params: Parameters) -> _CParams:
     return c
 
 
+_build_failed = False
+
+
 def build(force: bool = False) -> bool:
-    """Build libx3core.so if missing.  Returns True when the library exists."""
-    if _LIB_PATH.exists() and not force:
-        return True
+    """Build libx3core.so (make is a fast no-op when the source is
+    unchanged, and rebuilds stale binaries after source edits).  Returns
+    True when the library exists; a failed build is cached so the make
+    subprocess is not retried on every call."""
+    global _build_failed
+    if _build_failed and not force:
+        return _LIB_PATH.exists()
     try:
         subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True, capture_output=True)
     except (OSError, subprocess.CalledProcessError):
-        return False
+        _build_failed = True
     return _LIB_PATH.exists()
 
 
@@ -97,6 +104,8 @@ def available() -> bool:
 
 def crc16(data: bytes) -> int:
     lib = load()
+    if lib is None:
+        raise X3Error("native library unavailable")
     buf = np.frombuffer(bytes(data), dtype=np.uint8)
     return int(lib.x3_crc16(buf.ctypes.data_as(ctypes.c_void_p), len(buf)))
 
@@ -114,9 +123,11 @@ def encode(samples, params: Parameters | None = None, stats=None, nthreads: int 
     n = len(samples)
     if n == 0:
         return b""
-    # Worst case (incompressible input) expands: ~16 bits/sample payload
-    # plus per-frame header/align overhead.
-    cap = 2 * n + n // 8 + 1024 + 64 * (n // params.samples_per_frame + 2)
+    # Worst case (incompressible input) expands: 16 bits/sample payload,
+    # a 6-bit header per block, and per-frame header/align overhead.
+    n_frames = n // params.samples_per_frame + 2
+    n_blocks = n // params.block_len + n_frames
+    cap = 2 * n + n_blocks + 64 * n_frames + 1024
     out = np.zeros(cap, dtype=np.uint8)
     st = np.zeros(6, dtype=np.int64)
     if nthreads == 1:
@@ -187,12 +198,14 @@ def decode_frame(payload: bytes, params: Parameters, samples: int) -> np.ndarray
     return wav
 
 
-def index_frames(data: bytes, start: int, max_frames: int = 1 << 20):
+def index_frames(data: bytes, start: int, max_frames: int | None = None):
     """Native frame walk: [(payload_offset, samples, payload_len), ...]."""
     lib = load()
     if lib is None:
         raise X3Error("native library unavailable")
     buf = np.frombuffer(bytes(data), dtype=np.uint8)
+    if max_frames is None:
+        max_frames = len(buf) // 22 + 2  # a frame is >= 22 bytes, so exact bound
     offs = np.zeros(max_frames, dtype=np.int64)
     samp = np.zeros(max_frames, dtype=np.int32)
     plens = np.zeros(max_frames, dtype=np.int32)
