@@ -112,11 +112,17 @@ def encode(
         f_batch = min(batch_frames, n_frames - base)
         batch = np.zeros((batch_frames, spf), dtype=np.int16)
         n_valid = np.zeros(batch_frames, dtype=np.int32)
-        for i in range(f_batch):
-            start = (base + i) * spf
-            chunk = samples[start : start + spf]
-            batch[i, : len(chunk)] = chunk
-            n_valid[i] = len(chunk)
+        # Bulk-fill the full frames with one reshape; only a trailing
+        # partial frame needs special casing.
+        start = base * spf
+        n_full = min(f_batch, (n - start) // spf)
+        if n_full:
+            batch[:n_full] = samples[start : start + n_full * spf].reshape(n_full, spf)
+            n_valid[:n_full] = spf
+        if n_full < f_batch:
+            tail = samples[start + n_full * spf :]
+            batch[n_full, : len(tail)] = tail
+            n_valid[n_full] = len(tail)
         res = encode_frames(batch, n_valid, params)
         words = np.ascontiguousarray(res["payload_words"])
         payload = words.byteswap().view(np.uint8)  # big-endian bytes, zero-copy-ish
