@@ -108,6 +108,16 @@ def crc_matmul_consts(n_bytes: int):
     return m, const_init, inv_pows
 
 
+@functools.lru_cache(maxsize=8)
+def _crc_consts_kmajor(n_words: int):
+    """crc_matmul_consts with M rows permuted to the Pallas kernel's
+    k-major bit-plane order."""
+    from .crc_pallas import permute_m_rows
+
+    m, const_init, inv_pows = crc_matmul_consts(n_words * 4)
+    return permute_m_rows(m, n_words), const_init, inv_pows
+
+
 def crc16_padded_jax(byte_rows, lengths, n_bytes: int):
     """CRC16 of `lengths[i]` leading bytes of each row of a zero-padded
     [F, n_bytes] uint8 array, on device.  Rows MUST be zero beyond their
@@ -120,8 +130,26 @@ def crc16_padded_jax(byte_rows, lengths, n_bytes: int):
 
 def crc16_words_jax(word_rows, lengths, n_words: int):
     """Same as crc16_padded_jax but over big-endian u32 word rows [F, W]
-    (the packed payload), avoiding a device-side byte expansion."""
+    (the packed payload), avoiding a device-side byte expansion.
+
+    On TPU the GF(2) matmul runs as a Pallas kernel that keeps the
+    contribution matrix VMEM-resident and unpacks bits in registers
+    (ops/crc_pallas.py); elsewhere the jnp expansion path is used."""
+    import jax
     import jax.numpy as jnp
+
+    if jax.default_backend() == "tpu":
+        from .crc_pallas import CW, F_TILE, crc_planes_pallas
+
+        f, w = word_rows.shape
+        wp = -(-n_words // CW) * CW
+        fp = -(-f // F_TILE) * F_TILE
+        rows = word_rows
+        if wp != w or fp != f:
+            rows = jnp.zeros((fp, wp), jnp.uint32).at[:f, :w].set(word_rows)
+        mk, const_init, inv_pows = _crc_consts_kmajor(wp)
+        planes = crc_planes_pallas(rows, jnp.asarray(mk), wp)[:f] & 1
+        return _crc16_finish(planes, lengths, const_init, inv_pows, wp * 4)
 
     shifts = jnp.arange(31, -1, -1, dtype=jnp.uint32)
     bits = ((word_rows[:, :, None] >> shifts) & 1).astype(jnp.int8)
@@ -134,6 +162,11 @@ def _crc16_from_bits(bits, lengths, n_bytes: int):
 
     m, const_init, inv_pows = crc_matmul_consts(n_bytes)
     planes = jnp.matmul(bits, jnp.asarray(m), preferred_element_type=jnp.int32) & 1
+    return _crc16_finish(planes, lengths, const_init, inv_pows, n_bytes)
+
+
+def _crc16_finish(planes, lengths, const_init, inv_pows, n_bytes: int):
+    import jax.numpy as jnp
     weights = (1 << jnp.arange(16, dtype=jnp.int32))[None, :]
     crc = jnp.sum(planes * weights, axis=1).astype(jnp.int32) ^ const_init
     # Undo the trailing zero padding: apply S^(-z), z = n_bytes - length.
