@@ -95,12 +95,13 @@ def _decode_impl(payload: jax.Array, n_samples: jax.Array, params: Parameters):
     # TPU gathers cost per-index, not per-element, so the per-block window
     # load is 4 contiguous 4-word slices (cheap) realigned to the block's
     # start word with 4-way selects (free), instead of 12 scattered words.
-    G = 4  # slice width in words; W from frame_geometry is a multiple of 8
+    G = 16  # slice width in words (gathers price per index: fewer, wider slices)
     K = -(-(WIN_WORDS + G - 1) // G)  # G*K >= WIN + G-1 covers [sw, sw+WIN), sw-Gq <= G-1
     # Pad so the last block's 16-word window never clips q (which would
     # break the delta realignment below).
-    wpad = jnp.concatenate([words, jnp.zeros((F, K * G), jnp.uint32)], axis=1)
-    wg = wpad.reshape(F, (W + K * G) // G, G)
+    pad_w = K * G + (-(W + K * G)) % G
+    wpad = jnp.concatenate([words, jnp.zeros((F, pad_w), jnp.uint32)], axis=1)
+    wg = wpad.reshape(F, (W + pad_w) // G, G)
     slice_iota = jnp.arange(K, dtype=jnp.int32)[None, :]
 
     def select_word(win, idx):
@@ -135,10 +136,11 @@ def _decode_impl(payload: jax.Array, n_samples: jax.Array, params: Parameters):
         # One sliced gather per block: K contiguous G-word slices, then
         # realign to the block's start word with (G-1)-way selects.
         sw = jnp.clip(off >> 5, 0, W - 1)
-        q = sw >> 2  # padded array keeps [4q, 4q+K*G) in range
+        gshift = G.bit_length() - 1
+        q = sw >> gshift  # padded array keeps [G*q, G*q+K*G) in range
         raw = jnp.take_along_axis(wg, (q[:, None] + slice_iota)[:, :, None], axis=1)
-        raw = raw.reshape(F, K * G)  # [F, K*G] words starting at word 4q
-        delta = sw - (q << 2)  # 0..3
+        raw = raw.reshape(F, K * G)  # [F, K*G] words starting at word G*q
+        delta = sw - (q << gshift)  # 0..G-1
         win = []
         for i in range(WIN_WORDS):
             v = raw[:, i]

@@ -205,7 +205,10 @@ def _pack_block_buffers(item_val, item_len, W: int, NW: int = 12, use_pallas: bo
     onehot = (wi == jnp.clip(s_hi, 0, WH - 1)[:, :, None]).astype(jnp.int8)
     placed = jax.lax.dot_general(
         onehot, b8, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.int32
-    ).reshape(F, WH, NB4, 4)
+    )
+    # Disjoint-bit byte sums are exact mod 256, so the int32 accumulators can
+    # be narrowed to int8 in the matmul epilogue (4x less HBM for `placed`).
+    placed = placed.astype(jnp.int8).reshape(F, WH, NB4, 4)
     placed = placed.astype(jnp.uint32) & 0xFF
     pw = (placed[..., 0] << 24) | (placed[..., 1] << 16) | (placed[..., 2] << 8) | placed[..., 3]
 
