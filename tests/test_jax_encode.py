@@ -124,3 +124,33 @@ def test_pallas_pack_mode_agrees(rng):
         pack_pallas.LANE_TILE = orig_tile
         if jax.default_backend() == "cpu":
             pack_pallas.pack_blocks_pallas = orig
+
+
+def test_fused_pallas_mode_agrees(rng):
+    """fused_pallas (front + packer kernels, interpret on CPU) vs block."""
+    import jax
+
+    from x3_tpu.ops import front_pallas, pack_pallas
+    from x3_tpu.ops.encode_kernel import encode_frames
+
+    tiny = Parameters(block_len=4, blocks_per_frame=8)
+    wav = make_mixed(rng, 80)
+    batch = np.zeros((2, tiny.samples_per_frame), np.int16)
+    batch[0] = wav[:32]
+    batch[1, :17] = wav[32:49]
+    nv = np.array([32, 17], np.int32)
+    of, op = front_pallas.encode_front_pallas, pack_pallas.pack_blocks_pallas
+    ot = (front_pallas.LANE_TILE, pack_pallas.LANE_TILE)
+    front_pallas.LANE_TILE = pack_pallas.LANE_TILE = 16
+    try:
+        if jax.default_backend() == "cpu":
+            front_pallas.encode_front_pallas = lambda *a: of(*a[:7], True)
+            pack_pallas.pack_blocks_pallas = lambda iv, il, rr, nb4, i: op(iv, il, rr, nb4, True)
+        a = encode_frames(batch, nv, tiny, "fused_pallas")
+        b = encode_frames(batch, nv, tiny, "block")
+        for k in ["payload_words", "nbytes", "crc", "stats", "total_bits"]:
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]), err_msg=k)
+    finally:
+        front_pallas.LANE_TILE, pack_pallas.LANE_TILE = ot
+        front_pallas.encode_front_pallas = of
+        pack_pallas.pack_blocks_pallas = op

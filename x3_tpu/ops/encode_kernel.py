@@ -187,15 +187,90 @@ def _pack_block_buffers(item_val, item_len, W: int, NW: int = 12, use_pallas: bo
             buf4.append(acc)
         buf4 = jnp.stack(buf4, axis=2)  # [F, B, NB4]
 
-    # Merge buffers into the frame stream ON THE MXU: placing block rows at
-    # their (monotone) start words is a compaction, i.e. a one-hot matmul.
-    # To shrink the one-hot (the dominant HBM traffic), placement is done at
-    # 4-word "superword" granularity: each buffer is pre-shifted by its
-    # start word's residue (s & 3) into NW+3 word slots — elementwise — so
-    # the one-hot only needs W/4 columns.  Buffer words are split into int8
-    # byte planes (disjoint-bit sums are exact mod 256 in int32
-    # accumulation, so + == | after masking), contracted on the MXU, and
-    # the word slots realigned with static shifted adds.
+    words = _merge_mxu(buf4, block_off, F, B, W, NW, NB4, GR)
+    return words, total_bits.astype(jnp.int32)
+
+
+
+def _encode_frames_fused(s, n_valid, params: Parameters):
+    """Fully kernel-fused encode: the front end (diff/classify/codes) and the
+    block packer run as Pallas kernels in lanes-minor layout, with only the
+    tiny block-offset cumsum, the MXU merge, and the CRC in XLA."""
+    from .front_pallas import LANE_TILE, encode_front_pallas
+    from .pack_pallas import pack_blocks_pallas
+
+    S, B, L, W = frame_geometry(params)
+    NW = block_buffer_words(params)
+    GR = 8
+    NB4 = NW + GR - 1
+    F = s.shape[0]
+    N0 = F * B
+    pad = (-N0) % LANE_TILE
+    N = N0 + pad
+
+    def lanes(x, fill=0):
+        flat = x.reshape(1, N0)
+        if pad:
+            flat = jnp.concatenate([flat, jnp.full((1, pad), fill, x.dtype)], axis=1)
+        return flat
+
+    n = n_valid[:, None]
+    # Block sample layout: block b covers samples 1+bL..; its diff base is
+    # sample bL.
+    sblk = jnp.concatenate([s[:, 1:], jnp.zeros((F, 1), jnp.int32)], axis=1).reshape(F, B, L)
+    sblk = jnp.moveaxis(sblk, 2, 0).reshape(L, N0)
+    if pad:
+        sblk = jnp.concatenate([sblk, jnp.zeros((L, pad), jnp.int32)], axis=1)
+    sprev = lanes(s[:, ::L][:, :B])
+    bidx = jax.lax.broadcasted_iota(jnp.int32, (F, B), 1)
+    first_val = jnp.where((bidx == 0) & (n > 0), s[:, 0:1] & 0xFFFF, -1)
+    nv_lane = jnp.clip(n - 1 - bidx * L, 0, L)
+    first_l = lanes(first_val, fill=-1)
+    nv_l = lanes(nv_lane)
+
+    vals, lens, slot = encode_front_pallas(
+        sblk, sprev, first_l, nv_l, L, params.codes, params.thresholds
+    )
+
+    # ---- statistics (XLA; tiny) ----
+    slot_fb = slot[0, :N0].reshape(F, B)
+    present = nv_lane > 0
+    onehot = (slot_fb[:, :, None] == jnp.arange(6)[None, None, :]) & present[:, :, None]
+    stats = jnp.sum(onehot * nv_lane[:, :, None], axis=1)
+
+    # ---- block offsets (XLA cumsum; tiny) ----
+    block_bits = jnp.sum(lens, axis=0)[:N0].reshape(F, B)
+    block_end = jnp.cumsum(block_bits, axis=1)
+    block_off = block_end - block_bits
+    total_bits = block_end[:, -1]
+    r2 = lanes(block_off & (32 * GR - 1))
+
+    buf4_ln = pack_blocks_pallas(vals, lens, r2, NB4, False)
+    buf4 = jnp.moveaxis(buf4_ln[:, :N0].reshape(NB4, F, B), 0, 2)
+
+    words = _merge_mxu(buf4, block_off, F, B, W, NW, NB4, GR)
+    total_bits = total_bits.astype(jnp.int32)
+    nbytes = (total_bits + 7) // 8
+    nbytes = nbytes + (nbytes & 1)
+    crc = crc16_words_jax(words, nbytes, W)
+    return {
+        "payload_words": words,
+        "nbytes": nbytes.astype(jnp.int32),
+        "crc": crc.astype(jnp.int32),
+        "stats": stats,
+        "total_bits": total_bits,
+    }
+
+
+def _merge_mxu(buf4, block_off, F, B, W, NW, NB4, GR=8):
+    """Compact per-block buffers into the frame word stream on the MXU.
+
+    Placing the (monotone) block rows at their start superwords is a one-hot
+    int8 byte-plane matmul — exact because contributions to any output word
+    are bit-disjoint, so integer + equals | (mod-256 masked against int8
+    sign wraparound) — followed by static shifted adds to realign the GR-word
+    slots.  The one-hot is the dominant traffic, hence the coarse GR-word
+    placement granularity."""
     s_hi = (block_off >> (5 + GR.bit_length() - 1)).astype(jnp.int32)  # start superword
     WH = (W + NW) // GR + 2  # superword columns
     b8 = jnp.stack(
@@ -224,7 +299,7 @@ def _pack_block_buffers(item_val, item_len, W: int, NW: int = 12, use_pallas: bo
                 acc = acc + jnp.concatenate([jnp.zeros((F, m), col.dtype), col], axis=1)
         res_cols.append(acc)
     words = jnp.stack(res_cols, axis=2).reshape(F, WH * GR)[:, :W]
-    return words, total_bits.astype(jnp.int32)
+    return words
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
@@ -246,6 +321,9 @@ def encode_frames(samples: jax.Array, n_valid: jax.Array, params: Parameters, pa
 
     s = samples.astype(jnp.int32)
     n = n_valid.astype(jnp.int32)[:, None]  # [F, 1]
+
+    if pack_mode == "fused_pallas":
+        return _encode_frames_fused(s, n_valid.astype(jnp.int32), params)
 
     # ---- diffs over the frame (encoder.rs:222-225) ----
     d = jnp.concatenate([s[:, 1:] - s[:, :-1], jnp.zeros((F, 1), jnp.int32)], axis=1)  # [F, S]
