@@ -28,6 +28,14 @@ sys.path.insert(0, str(REPO))
 
 import numpy as np  # noqa: E402
 
+# Honor JAX_PLATFORMS even when a sitecustomize pre-imported jax (env vars
+# alone are too late then).
+if os.environ.get("JAX_PLATFORMS"):
+    import jax  # noqa: E402
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+
 
 def peak_rss_mb() -> float:
     return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0

@@ -12,6 +12,7 @@ archives.  Exit code 0 only if everything is bit-exact.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import tempfile
 from pathlib import Path
@@ -20,6 +21,14 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 import numpy as np  # noqa: E402
+
+# Honor JAX_PLATFORMS even when a sitecustomize pre-imported jax (env vars
+# alone are too late then).
+if os.environ.get("JAX_PLATFORMS"):
+    import jax  # noqa: E402
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 
 
 def synthetic_corpus(tmp: Path) -> list[Path]:

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-F_TILE = 128  # frames per grid step
+F_TILE = 64  # frames per grid step (keeps words tile + M + bits within VMEM)
 CW = 128  # words per in-kernel chunk (4096 bits per dot)
 
 
