@@ -54,11 +54,34 @@ def test_archive_parse_on_garbage(rng):
 
 
 def test_walk_frames_on_truncated_stream(rng):
+    """A valid header whose payload overruns EOF raises without resync
+    (parity: decodefile.rs:118-121) and is skipped with resync."""
+    from x3_tpu.errors import FrameHeaderInvalidPayloadLen
+
     wav = make_hydrophone(rng, 15_000)
     stream = oracle.encode(wav, P)
     truncated = stream[: len(stream) - 37]  # cut inside last frame payload
-    frames = list(archive.walk_frames(truncated, 0))
+    with pytest.raises(FrameHeaderInvalidPayloadLen):
+        list(archive.walk_frames(truncated, 0))
+    frames = list(archive.walk_frames(truncated, 0, resync=True))
     assert len(frames) == 1  # only the complete frame indexed
+
+
+def test_walk_frames_header_crc_error_propagates(rng):
+    """A corrupted frame header raises without resync (the reference
+    propagates header-CRC errors, decodefile.rs:112) instead of silently
+    truncating the index."""
+    from x3_tpu.errors import FrameHeaderInvalidHeaderCRC
+
+    wav = make_hydrophone(rng, 25_000)  # 3 frames
+    stream = bytearray(oracle.encode(wav, P))
+    index = list(archive.walk_frames(bytes(stream), 0))
+    off1, _ = index[1]
+    stream[off1 - 20 + 3] ^= 0xFF  # corrupt frame 1's header
+    with pytest.raises(FrameHeaderInvalidHeaderCRC):
+        list(archive.walk_frames(bytes(stream), 0))
+    frames = list(archive.walk_frames(bytes(stream), 0, resync=True))
+    assert len(frames) == 2  # frames 0 and 2 recovered via sync scan
 
 
 def test_decoder_error_flag_on_truncated_payload(rng):

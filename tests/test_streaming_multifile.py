@@ -85,6 +85,51 @@ def test_multifile_roundtrip(tmp_path, rng):
         np.testing.assert_array_equal(got, w)
 
 
+def test_decode_streams_mixed_params(rng):
+    """Archives encoded with DIFFERENT Parameters decode correctly in one
+    call: the worklist is grouped by params, each group with its own frame
+    geometry."""
+    from x3_tpu import archive
+
+    tiny = Parameters(block_len=4, blocks_per_frame=8)
+    wav_a = make_hydrophone(rng, 12_345)
+    wav_b = make_mixed(rng, 700)
+    wav_c = make_hydrophone(rng, 90)
+    arch_a = archive.build_archive_header(96000, P) + oracle.encode(wav_a, P)
+    arch_b = archive.build_archive_header(44100, tiny) + oracle.encode(wav_b, tiny)
+    arch_c = archive.build_archive_header(22050, P) + oracle.encode(wav_c, P)
+    decoded = decode_streams([arch_a, arch_b, arch_c], batch_frames=3)
+    (got_a, ra), (got_b, rb), (got_c, rc) = decoded
+    assert (ra, rb, rc) == (96000, 44100, 22050)
+    np.testing.assert_array_equal(got_a, wav_a)
+    np.testing.assert_array_equal(got_b, wav_b)
+    np.testing.assert_array_equal(got_c, wav_c)
+
+
+def test_native_resync_skips_crc_failed_frame(tmp_path, rng):
+    """engine='native' with resync=True must skip (not silently include)
+    frames whose payload CRC fails, matching the jax/numpy engines."""
+    from x3_tpu import archive, native
+
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    wav = make_hydrophone(rng, 30_000)  # 3 frames
+    wav_path, x3a_path = tmp_path / "i.wav", tmp_path / "o.x3a"
+    write_wav(wav_path, wav, 44100)
+    wav_to_x3a(wav_path, x3a_path)
+    data = bytearray(x3a_path.read_bytes())
+    hdr = archive.parse_archive_header(bytes(data))[1]
+    index = list(archive.walk_frames(bytes(data), hdr))
+    off1, h1 = index[1]
+    data[off1 + 5] ^= 0xFF  # corrupt middle frame's payload (CRC now fails)
+    x3a_path.write_bytes(bytes(data))
+    back = tmp_path / "b.wav"
+    errors = x3a_to_wav(x3a_path, back, engine="native", resync=True)
+    assert errors == 1
+    got, _ = read_wav(back)
+    np.testing.assert_array_equal(got, np.concatenate([wav[:10_000], wav[20_000:]]))
+
+
 def test_multifile_sharded(tmp_path, rng):
     from x3_tpu.parallel.mesh import make_mesh
 

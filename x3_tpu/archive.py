@@ -17,6 +17,7 @@ from .errors import (
     FrameDecodeUnexpectedEnd,
     FrameHeaderInvalidHeaderCRC,
     FrameHeaderInvalidKey,
+    FrameHeaderInvalidPayloadLen,
     FrameLength,
     MoreThanOneChannel,
 )
@@ -85,9 +86,12 @@ def parse_archive_header(data: bytes) -> tuple[X3aSpec, int]:
 def walk_frames(data: bytes, start: int, resync: bool = False):
     """Sequentially index frames: yields (payload_offset, FrameHeader).
 
-    Stops when fewer than a header's worth of bytes remain
-    (decodefile.rs:107-109).  With resync=True, a bad header triggers a
-    sync-word scan to the next plausible frame instead of stopping."""
+    Stops cleanly when at most a header's worth of bytes remain
+    (decodefile.rs:107-109).  Without resync, header errors propagate and a
+    valid header whose payload extends past the end of the data raises
+    FrameHeaderInvalidPayloadLen — both parity with the reference
+    (decodefile.rs:112-121).  With resync=True, either triggers a sync-word
+    scan to the next plausible frame instead."""
     pos = start
     n = len(data)
     while n - pos > constants.FRAME_HEADER_LENGTH:
@@ -95,7 +99,7 @@ def walk_frames(data: bytes, start: int, resync: bool = False):
             header = read_frame_header(data[pos : pos + constants.FRAME_HEADER_LENGTH])
         except Exception:
             if not resync:
-                return
+                raise
             nxt = find_sync(data, pos + 1)
             if nxt < 0:
                 return
@@ -103,7 +107,16 @@ def walk_frames(data: bytes, start: int, resync: bool = False):
             continue
         payload_off = pos + constants.FRAME_HEADER_LENGTH
         if n - payload_off < header.payload_len:
-            return
+            if not resync:
+                raise FrameHeaderInvalidPayloadLen(
+                    f"frame at {pos}: payload {header.payload_len} B overruns "
+                    f"the remaining {n - payload_off} B"
+                )
+            nxt = find_sync(data, pos + 1)
+            if nxt < 0:
+                return
+            pos = nxt
+            continue
         yield payload_off, header
         pos = payload_off + header.payload_len
 

@@ -75,3 +75,21 @@ class FrameDecodeUnexpectedEnd(X3Error):
 
 class ByteWriterInsufficientMemory(X3Error):
     """The output buffer is too small."""
+
+
+# Mapping from the batched decode kernel's per-frame error codes
+# (ops.decode_kernel.ERR_*) to the reference's error taxonomy
+# (error.rs:27-62): 1 invalid BFP, 2 out-of-bounds inverse, 3 the
+# bitstream overran / payload too large (unexpected end), 4 payload CRC.
+DECODE_ERROR_CLASSES: dict[int, type] = {
+    1: FrameDecodeInvalidBPF,
+    2: OutOfBoundsInverse,
+    3: FrameDecodeUnexpectedEnd,
+    4: FrameHeaderInvalidPayloadCRC,
+}
+
+
+def decode_error(code: int, msg: str = "") -> X3Error:
+    """Build the X3Error matching a device decode error code."""
+    cls = DECODE_ERROR_CLASSES.get(int(code), X3Error)
+    return cls(msg or f"frame failed to decode (code {int(code)})")

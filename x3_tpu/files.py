@@ -92,8 +92,14 @@ def x3a_to_wav(
             if engine == "native":
                 from . import native as native_mod
 
+                # Fast path: frame-parallel native decode of the batch —
+                # only when every frame's payload CRC checked out, so
+                # CRC-failed frames are never silently included (with
+                # resync they must be skipped and counted instead).
+                batch_crcs_ok = bool(crc_ok[base : base + len(batch)].all())
                 try:
-                    # Fast path: frame-parallel native decode of the batch.
+                    if not batch_crcs_ok:
+                        raise X3Error("CRC-failed frames in batch")
                     nat_index = [(off, h.samples, h.payload_len) for off, h in batch]
                     flat = native_mod.decode_frames_mt(data, nat_index, spec.params)
                     outs, errs, pos = [], [], 0
@@ -125,7 +131,7 @@ def x3a_to_wav(
                 bad = base + int(np.nonzero(~batch_crc_ok)[0][0])
                 raise FrameHeaderInvalidPayloadCRC(f"frame {bad} payload CRC mismatch")
             if resync:
-                errs = errs | ~batch_crc_ok
+                errs = np.where(~batch_crc_ok, 4, errs)  # 4 = payload CRC
         if resync and crc_ok is not None:
             errs = errs | ~crc_ok[base : base + len(batch)]
         for i, (out, err) in enumerate(zip(outs, errs)):

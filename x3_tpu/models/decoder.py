@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..errors import FrameDecodeInvalidBPF
+from ..errors import decode_error
 from ..params import Parameters
 from . import oracle
 
@@ -18,44 +18,57 @@ DEFAULT_BATCH_FRAMES = 256
 def decode_frames_batch(payloads, n_samples, params: Parameters | None = None, check_crcs=None):
     """Decode a list of frame payloads (bytes) with their sample counts.
 
-    Returns (list of int16 arrays, err bool array).  Lanes are padded to the
-    pipeline's static payload size; errors are per-frame flags.
+    Returns (list of int16 arrays, err int array).  Lanes are padded to the
+    pipeline's static payload size; errors are per-frame ERR_* codes
+    (ops.decode_kernel: 0 ok, 1 invalid BFP, 2 OOB inverse, 3 overrun),
+    mappable to exceptions via errors.decode_error.
 
     check_crcs: optional list of expected payload CRC16s — when given, the
     CRCs are verified ON DEVICE (fused MXU matmul) and mismatches are
     reported as a third return value (crc_ok bool array)."""
-    from ..ops.decode_kernel import decode_frames, decode_frames_checked
+    from ..ops.decode_kernel import ERR_OVERRUN, decode_frames, decode_frames_checked
     from ..ops.encode_kernel import frame_geometry
 
     params = params or Parameters()
     S, B, L, W = frame_geometry(params)
     f = len(payloads)
     if f == 0:
-        return ([], np.zeros(0, bool)) if check_crcs is None else ([], np.zeros(0, bool), np.zeros(0, bool))
+        return ([], np.zeros(0, np.int32)) if check_crcs is None else ([], np.zeros(0, np.int32), np.zeros(0, bool))
     buf = np.zeros((f, W * 4), dtype=np.uint8)
     ns = np.zeros(f, dtype=np.int32)
     plens = np.zeros(f, dtype=np.int32)
+    # A CRC-valid but foreign/corrupt header may claim payload_len up to
+    # 0x7fe0 > W*4: flag such frames as overruns instead of crashing the
+    # whole batch (they cannot decode to n_samples within W words anyway).
+    oversized = np.zeros(f, dtype=bool)
     for i, (p, n) in enumerate(zip(payloads, n_samples)):
         arr = np.frombuffer(p, dtype=np.uint8)
+        if len(arr) > W * 4 or n > S:
+            oversized[i] = True
+            arr = arr[: W * 4]
         buf[i, : len(arr)] = arr
-        ns[i] = n
+        ns[i] = min(n, S)
         plens[i] = len(arr)
     if check_crcs is not None:
         out, err, crc = decode_frames_checked(buf, ns, plens, params)
         crc_ok = np.asarray(crc) == np.asarray(check_crcs, dtype=np.int64)
+        crc_ok = crc_ok & ~oversized  # truncated lane CRCs are meaningless
     else:
         out, err = decode_frames(buf, ns, params)
     out = np.asarray(out)
-    err = np.asarray(err)
+    err = np.where(oversized, ERR_OVERRUN, np.asarray(err))
     outs = [out[i, : ns[i]].copy() for i in range(f)]
     return (outs, err) if check_crcs is None else (outs, err, crc_ok)
 
 
 def decode_frame(payload: bytes, params: Parameters, samples: int, engine: str = "jax") -> np.ndarray:
-    """Decode a single frame payload (parity with decoder::decode_frame)."""
+    """Decode a single frame payload (parity with decoder::decode_frame).
+
+    Decode failures raise the matching reference error class
+    (error.rs:27-62) via the kernel's per-frame error code."""
     if engine == "numpy":
         return oracle.decode_frame(payload, params, samples)
     outs, err = decode_frames_batch([payload], [samples], params)
     if err[0]:
-        raise FrameDecodeInvalidBPF("frame failed to decode")
+        raise decode_error(err[0])
     return outs[0]

@@ -82,13 +82,17 @@ def decode_streams(
 ):
     """Decode many .x3a archive byte strings, sharing device batches.
 
-    Returns list of (samples int16 array, sample_rate).  Raises on CRC
-    mismatch (reference behavior)."""
+    Archives may use different Parameters: the frame worklist is grouped by
+    params, each group decoded with its own frame geometry.  Returns list of
+    (samples int16 array, sample_rate).  Raises on CRC mismatch or frame
+    decode failure (reference behavior, mapped to the matching error class)."""
     from .ops.encode_kernel import frame_geometry
     from .ops.decode_kernel import decode_frames
+    from .errors import decode_error
 
     specs = []
-    work = []  # (archive_idx, payload_slice, n_samples)
+    # Frame worklists grouped by params (geometry differs across params).
+    groups: dict[Parameters, list] = {}  # params -> [(archive_idx, frame_idx, payload, n_samples)]
     for ai, data in enumerate(archives):
         spec, header_size = archive.parse_archive_header(data)
         specs.append(spec)
@@ -97,11 +101,9 @@ def decode_streams(
         if not ok.all():
             bad = int(np.nonzero(~ok)[0][0])
             raise FrameHeaderInvalidPayloadCRC(f"archive {ai} frame {bad} payload CRC mismatch")
-        for off, h in index:
-            work.append((ai, data[off : off + h.payload_len], h.samples))
-
-    params = specs[0].params if specs else Parameters()
-    S, B, L, W = frame_geometry(params)
+        work = groups.setdefault(spec.params, [])
+        for fi, (off, h) in enumerate(index):
+            work.append((ai, fi, data[off : off + h.payload_len], h.samples))
 
     if mesh is not None:
         from .parallel.mesh import decode_frames_sharded
@@ -109,30 +111,35 @@ def decode_streams(
         ndev = mesh.size
         batch_frames = -(-batch_frames // ndev) * ndev
 
-    outs: list[list[np.ndarray]] = [[] for _ in archives]
-    for base in range(0, len(work), batch_frames):
-        chunk = work[base : base + batch_frames]
-        buf = np.zeros((batch_frames, W * 4), dtype=np.uint8)
-        ns = np.zeros(batch_frames, dtype=np.int32)
-        for i, (ai, payload, n) in enumerate(chunk):
-            arr = np.frombuffer(payload, dtype=np.uint8)
-            buf[i, : len(arr)] = arr
-            ns[i] = n
-        if mesh is not None:
-            dec, err = decode_frames_sharded(buf, ns, params, mesh)
-        else:
-            dec, err = decode_frames(buf, ns, params)
-        dec = np.asarray(dec)
-        if np.asarray(err)[: len(chunk)].any():
-            bad = int(np.nonzero(np.asarray(err))[0][0])
-            raise FrameHeaderInvalidPayloadCRC(f"frame {base + bad} failed to decode")
-        for i, (ai, payload, n) in enumerate(chunk):
-            outs[ai].append(dec[i, :n])
+    outs: dict[int, list[tuple[int, np.ndarray]]] = {ai: [] for ai in range(len(archives))}
+    for params, work in groups.items():
+        S, B, L, W = frame_geometry(params)
+        for base in range(0, len(work), batch_frames):
+            chunk = work[base : base + batch_frames]
+            buf = np.zeros((batch_frames, W * 4), dtype=np.uint8)
+            ns = np.zeros(batch_frames, dtype=np.int32)
+            for i, (ai, fi, payload, n) in enumerate(chunk):
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                buf[i, : len(arr)] = arr
+                ns[i] = n
+            if mesh is not None:
+                dec, err = decode_frames_sharded(buf, ns, params, mesh)
+            else:
+                dec, err = decode_frames(buf, ns, params)
+            dec = np.asarray(dec)
+            err = np.asarray(err)
+            if err[: len(chunk)].any():
+                bad = int(np.nonzero(err)[0][0])
+                ai, fi = chunk[bad][0], chunk[bad][1]
+                raise decode_error(err[bad], f"archive {ai} frame {fi} failed to decode")
+            for i, (ai, fi, payload, n) in enumerate(chunk):
+                outs[ai].append((fi, dec[i, :n]))
 
-    return [
-        (np.concatenate(o) if o else np.zeros(0, np.int16), spec.sample_rate)
-        for o, spec in zip(outs, specs)
-    ]
+    decoded = []
+    for ai, spec in enumerate(specs):
+        parts = [a for _, a in sorted(outs[ai], key=lambda t: t[0])]
+        decoded.append((np.concatenate(parts) if parts else np.zeros(0, np.int16), spec.sample_rate))
+    return decoded
 
 
 def wav_to_x3a_batch(

@@ -55,6 +55,16 @@ def _inv_rice(i):
     return jnp.where((i & 1) == 1, -half, half)
 
 
+# Per-frame decode error codes (parity with the reference's X3Error variants,
+# error.rs:27-62): 0 ok, 1 invalid BFP (num_bits<=5, decoder.rs:209-212),
+# 2 out-of-bounds inverse (decoder.rs:162-192), 3 bitstream overran the
+# payload (unexpected end).  Host mapping lives in errors.decode_error().
+ERR_OK = 0
+ERR_INVALID_BPF = 1
+ERR_OOB_INVERSE = 2
+ERR_OVERRUN = 3
+
+
 @functools.partial(jax.jit, static_argnums=(3,))
 def decode_frames_checked(payload: jax.Array, n_samples: jax.Array, payload_lens: jax.Array, params: Parameters):
     """decode_frames plus device-side payload CRC16 (the batched integrity
@@ -75,7 +85,7 @@ def decode_frames(payload: jax.Array, n_samples: jax.Array, params: Parameters):
 
     payload: uint8 [F, W*4] zero-padded payload bytes (W from frame_geometry)
     n_samples: int32 [F] — sample count per frame (0 = dummy lane)
-    Returns (samples int16 [F, S], err bool [F])."""
+    Returns (samples int16 [F, S], err int32 [F] — ERR_* codes, 0 = ok)."""
     out, err, _ = _decode_impl(payload, n_samples, params)
     return out, err
 
@@ -155,7 +165,7 @@ def _decode_impl(payload: jax.Array, n_samples: jax.Array, params: Parameters):
         dec_nb = ((hdr >> 26) & 0xF).astype(jnp.int32) + 1
         is_hdr0 = ftype == 0
         is_pass = is_hdr0 & (dec_nb == 16)
-        err = err | (valid_block & is_hdr0 & (dec_nb <= 5))
+        bpf_err = valid_block & is_hdr0 & (dec_nb <= 5)
         rel = rel + jnp.where(is_hdr0, constants.BFP_HDR_LEN, constants.RICE_HDR_LEN)
 
         # Per-ftype constants via small selects (params are static).
@@ -168,9 +178,9 @@ def _decode_impl(payload: jax.Array, n_samples: jax.Array, params: Parameters):
         dec_nb_u = jnp.clip(dec_nb, 1, 31).astype(jnp.uint32)
         neg_thresh = 1 << jnp.clip(dec_nb - 1, 0, 30)
 
-        def decode_math(win32, last, err, valid):
+        def decode_math(win32, last, oob, valid):
             """Branch-free decode of one sample from its 32-bit window.
-            Returns (new_sample, consumed_bits, err)."""
+            Returns (new_sample, consumed_bits, oob flag)."""
             zeros = jax.lax.clz(win32).astype(jnp.int32)
             zc = jnp.clip(zeros, 0, 31).astype(jnp.uint32)
 
@@ -179,7 +189,7 @@ def _decode_impl(payload: jax.Array, n_samples: jax.Array, params: Parameters):
             suffix = ((win32 << zc) >> (32 - nbsuf.astype(jnp.uint32))).astype(jnp.int32)
             idx = jnp.where(ftype == 1, zeros, suffix + level * (zeros - 1))
             is_rice = ftype >= 1
-            err = err | (valid & is_rice & ((idx < 0) | (idx >= invlen_f)))
+            oob = oob | (valid & is_rice & ((idx < 0) | (idx >= invlen_f)))
             delta_rice = _inv_rice(jnp.clip(idx, 0, 59))
 
             # BFP / pass-through: fixed dec_nb-bit field (decoder.rs:209-235)
@@ -192,8 +202,9 @@ def _decode_impl(payload: jax.Array, n_samples: jax.Array, params: Parameters):
             consume = jnp.where(
                 ftype == 1, zeros + 1, jnp.where(is_rice, zeros + nbsuf, dec_nb)
             )
-            return new, consume, err
+            return new, consume, oob
 
+        oob = jnp.zeros_like(valid_block)
         if L <= 24:
             # Small blocks (incl. the default 20): fully unrolled; each
             # sample extracts its window independently — short dependency
@@ -202,7 +213,7 @@ def _decode_impl(payload: jax.Array, n_samples: jax.Array, params: Parameters):
             for k in range(L):
                 valid = valid_block & ((block_first + k) < n)
                 win32 = extract32(win, rel)
-                new, consume, err = decode_math(win32, last, err, valid)
+                new, consume, oob = decode_math(win32, last, oob, valid)
                 rel = rel + jnp.where(valid, consume, 0)
                 last = jnp.where(valid, new, last)
                 outs.append(new)
@@ -217,11 +228,11 @@ def _decode_impl(payload: jax.Array, n_samples: jax.Array, params: Parameters):
             w1 = select_word(win, widx + 1)
 
             def sample_step(state, k):
-                widx, r, w0, w1, last, err = state
+                widx, r, w0, w1, last, oob = state
                 valid = valid_block & ((block_first + k) < n)
                 ru = r.astype(jnp.uint32)
                 win32 = (w0 << ru) | ((w1 >> (31 - ru)) >> 1)
-                new, consume, err = decode_math(win32, last, err, valid)
+                new, consume, oob = decode_math(win32, last, oob, valid)
                 # Valid codes never exceed 16 bits; clamping keeps the
                 # rolling invariant (r < 32 -> single-word advance) on
                 # garbage lanes, which are error-flagged anyway.
@@ -233,17 +244,22 @@ def _decode_impl(payload: jax.Array, n_samples: jax.Array, params: Parameters):
                 w1 = jnp.where(carry, select_word(win, widx + 2), w1)
                 widx = widx + carry.astype(jnp.int32)
                 last = jnp.where(valid, new, last)
-                return (widx, r, w0, w1, last, err), new
+                return (widx, r, w0, w1, last, oob), new
 
-            state = (widx, r, w0, w1, last, err)
+            state = (widx, r, w0, w1, last, oob)
             state, outs = jax.lax.scan(sample_step, state, jnp.arange(L, dtype=jnp.int32))
-            widx, r, w0, w1, last, err = state
+            widx, r, w0, w1, last, oob = state
             blk = jnp.transpose(outs, (1, 0))
             off = (sw << 5) + (widx << 5) + r
+        # First error wins (reference decode stops at the first bad block,
+        # decodefile.rs:128-135); BFP-header and Rice-OOB errors are mutually
+        # exclusive within one block, so this ordering is exact.
+        blk_code = jnp.where(bpf_err, ERR_INVALID_BPF, jnp.where(oob, ERR_OOB_INVERSE, ERR_OK))
+        err = jnp.where(err != ERR_OK, err, blk_code)
         return (off, last, err), blk
 
     off0 = n * 0 + 16  # bitstream starts after the raw first sample
-    err0 = n < 0
+    err0 = jnp.zeros_like(n)
     (off, last, err), blocks = jax.lax.scan(
         block_body, (off0, first, err0), jnp.arange(B, dtype=jnp.int32)
     )
@@ -251,5 +267,5 @@ def _decode_impl(payload: jax.Array, n_samples: jax.Array, params: Parameters):
     # 1 + b*L + k, so prepending the raw first sample gives the frame.
     flat = jnp.transpose(blocks, (1, 0, 2)).reshape(F, B * L)
     out = jnp.concatenate([first[:, None], flat[:, : S - 1]], axis=1)
-    err = err | (off > jnp.int32(W * 32))
+    err = jnp.where(err != ERR_OK, err, jnp.where(off > jnp.int32(W * 32), ERR_OVERRUN, ERR_OK))
     return out.astype(jnp.int16), err, words
