@@ -119,16 +119,37 @@ def main():
 
     decode_exact = bool(check(dev_payload, dec_nvalid, dec_frames_in))
 
-    # --- end-to-end encode (host framing + transfers + assembly) ---
+    # --- end-to-end jax encode (host framing + transfers + assembly) ---
     res = encode(wav, params, batch_frames=batch_frames)  # warm
     t0 = time.perf_counter()
     res = encode(wav, params, batch_frames=batch_frames)
-    e2e_encode_mbs = in_mb / (time.perf_counter() - t0)
+    e2e_jax_encode_mbs = in_mb / (time.perf_counter() - t0)
     ratio = wav.nbytes / len(res.data)
 
     # --- bit-exactness spot check vs the oracle (first 2 frames) ---
     n_check = 2 * spf
     exact = res.data.startswith(oracle.encode(wav[:n_check], params))
+
+    # --- end-to-end FILE conversion, auto-routed engine (the reference's
+    #     80/52 MB/s baselines are end-to-end file numbers, timings.csv:74) ---
+    import tempfile
+
+    from x3_tpu.files import wav_to_x3a, x3a_to_wav
+    from x3_tpu.utils.wav import read_wav, write_wav
+
+    with tempfile.TemporaryDirectory() as td:
+        wp, xp, bp = f"{td}/b.wav", f"{td}/b.x3a", f"{td}/back.wav"
+        write_wav(wp, wav, 96000)
+        wav_to_x3a(wp, xp)  # warm (builds the native lib on first use)
+        t0 = time.perf_counter()
+        wav_to_x3a(wp, xp)
+        e2e_encode_mbs = in_mb / (time.perf_counter() - t0)
+        x3a_to_wav(xp, bp)  # warm
+        t0 = time.perf_counter()
+        errors = x3a_to_wav(xp, bp)
+        e2e_decode_mbs = in_mb / (time.perf_counter() - t0)
+        back, _ = read_wav(bp)
+        e2e_exact = errors == 0 and np.array_equal(back, wav)
 
     print(json.dumps({
         "metric": "encode_throughput",
@@ -138,6 +159,10 @@ def main():
         "device_decode_mbs": round(dev_decode_mbs, 1),
         "decode_vs_baseline": round(dev_decode_mbs / BASELINE_DECODE_MBS, 2),
         "e2e_encode_mbs": round(e2e_encode_mbs, 1),
+        "e2e_decode_mbs": round(e2e_decode_mbs, 1),
+        "e2e_vs_baseline": round(e2e_encode_mbs / BASELINE_ENCODE_MBS, 2),
+        "e2e_jax_encode_mbs": round(e2e_jax_encode_mbs, 1),
+        "e2e_exact": bool(e2e_exact),
         "compression_ratio": round(ratio, 2),
         "bit_exact": bool(exact),
         "decode_exact": decode_exact,

@@ -25,7 +25,7 @@ def main(wav_path=None):
     orig, _ = read_wav(wav_path)
     back, _ = read_wav("example_back.wav")
     assert errors == 0 and np.array_equal(orig, back), "roundtrip mismatch!"
-    print(f"bit-exact roundtrip OK; {orig.nbytes} -> {len(result.data)} bytes")
+    print(f"bit-exact roundtrip OK; {orig.nbytes} -> {result.nbytes} bytes")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,106 @@
+"""Peak-RSS bound for the streaming file paths: decode (and encode) of a
+large archive must NOT scale memory with file size (parity with the
+reference's ~163 MB RSS on any archive, decodefile.rs:44-45,
+timings.csv:35)."""
+
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+from tests.conftest import REPO_ROOT
+
+
+def _run(code: str) -> dict:
+    """Run code in a fresh interpreter; returns parsed key=value lines."""
+    r = subprocess.run(
+        [sys.executable, "-c", textwrap.dedent(code)],
+        capture_output=True,
+        text=True,
+        cwd=str(REPO_ROOT),
+        timeout=540,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    out = {}
+    for line in r.stdout.splitlines():
+        if "=" in line:
+            k, _, v = line.partition("=")
+            out[k.strip()] = v.strip()
+    return out
+
+
+COMMON = """
+import resource, sys
+sys.path.insert(0, {root!r})
+import numpy as np
+from x3_tpu.files import wav_to_x3a, x3a_to_wav
+from x3_tpu.utils.wav import WavWriter, read_wav
+from x3_tpu import native
+if not native.available():
+    print("skip=1"); sys.exit(0)
+
+def maxrss_mb():
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+"""
+
+
+@pytest.mark.slow
+def test_streaming_rss_bounded(tmp_path):
+    """Encode+decode a ~120 MB WAV through the file APIs with a small batch
+    size; peak RSS must stay within a flat overhead of the small-file
+    baseline (i.e. not grow with the file)."""
+    common = COMMON.format(root=str(REPO_ROOT))
+
+    script = common + f"""
+rng = np.random.default_rng(7)
+big_wav = {str(tmp_path / "big.wav")!r}
+big_x3a = {str(tmp_path / "big.x3a")!r}
+back_wav = {str(tmp_path / "back.wav")!r}
+
+# Write a ~120 MB WAV in chunks (bounded generation).
+n_total = 60_000_000
+with WavWriter(big_wav, 96000) as w:
+    left = n_total
+    last = 0
+    while left:
+        k = min(8_000_000, left)
+        chunk = np.clip(last + np.cumsum(rng.integers(-4, 5, k)), -30000, 30000).astype(np.int16)
+        last = int(chunk[-1])
+        w.write(chunk)
+        left -= k
+del chunk
+base = maxrss_mb()  # after generation: numpy + chunk buffers
+
+wav_to_x3a(big_wav, big_x3a, engine="native", batch_frames=64)
+enc = maxrss_mb()
+errors = x3a_to_wav(big_x3a, back_wav, engine="native", batch_frames=64)
+dec = maxrss_mb()
+assert errors == 0
+
+# Bit-exact roundtrip, verified in bounded chunks.
+import wave
+wa = wave.open(big_wav, "rb"); wb = wave.open(back_wav, "rb")
+assert wa.getnframes() == wb.getnframes() == n_total
+ok = True
+while True:
+    ra = wa.readframes(4_000_000); rb = wb.readframes(4_000_000)
+    if not ra: break
+    ok &= (ra == rb)
+print(f"exact={{ok}}")
+print(f"base={{base:.0f}}")
+print(f"enc={{enc:.0f}}")
+print(f"dec={{dec:.0f}}")
+"""
+    out = _run(script)
+    if out.get("skip"):
+        pytest.skip("native toolchain unavailable")
+    assert out["exact"] == "True"
+    base, enc, dec = float(out["base"]), float(out["enc"]), float(out["dec"])
+    # 120 MB input, ~40 MB archive, 120 MB output.  batch_frames=64 bounds
+    # working memory to ~2.5 MB; allow generous flat overhead (native lib,
+    # allocator slack) but far below holding the file in memory.
+    flat = 100.0
+    assert enc < base + flat, f"encode RSS grew {enc - base:.0f} MB (> {flat} MB flat)"
+    assert dec < base + flat, f"decode RSS grew {dec - base:.0f} MB (> {flat} MB flat)"

@@ -121,6 +121,78 @@ def walk_frames(data: bytes, start: int, resync: bool = False):
         pos = payload_off + header.payload_len
 
 
+def read_archive_header_file(f) -> tuple[X3aSpec, int]:
+    """Parse the archive header from an open binary file (bounded reads).
+    Returns (spec, total header size); leaves the file positioned at the
+    first frame."""
+    f.seek(0)
+    head = f.read(constants.ARCHIVE_ID_LEN + constants.FRAME_HEADER_LENGTH)
+    if head[: constants.ARCHIVE_ID_LEN] != constants.ARCHIVE_ID:
+        raise ArchiveHeaderXMLInvalidKey(f"bad magic {head[:8]!r}")
+    header = read_frame_header(head[constants.ARCHIVE_ID_LEN :])
+    xml_payload = f.read(header.payload_len)
+    sample_rate, params = parse_xml(xml_payload)
+    spec = X3aSpec(sample_rate=sample_rate, params=params, channels=header.channels)
+    return spec, constants.ARCHIVE_ID_LEN + constants.FRAME_HEADER_LENGTH + header.payload_len
+
+
+def walk_frames_file(f, start: int, resync: bool = False):
+    """Seek-based frame indexing over an open binary file: yields
+    (payload_offset, FrameHeader) reading only the 20-byte headers (payloads
+    are skipped with seeks), so memory stays bounded on any archive size —
+    the streaming counterpart of walk_frames (decodefile.rs:44-45 streams
+    with a 24 KiB buffer).  Same error semantics as walk_frames."""
+    f.seek(0, 2)
+    n = f.tell()
+    pos = start
+    while n - pos > constants.FRAME_HEADER_LENGTH:
+        f.seek(pos)
+        try:
+            header = read_frame_header(f.read(constants.FRAME_HEADER_LENGTH))
+        except Exception:
+            if not resync:
+                raise
+            nxt = find_sync_file(f, pos + 1, n)
+            if nxt < 0:
+                return
+            pos = nxt
+            continue
+        payload_off = pos + constants.FRAME_HEADER_LENGTH
+        if n - payload_off < header.payload_len:
+            if not resync:
+                raise FrameHeaderInvalidPayloadLen(
+                    f"frame at {pos}: payload {header.payload_len} B overruns "
+                    f"the remaining {n - payload_off} B"
+                )
+            nxt = find_sync_file(f, pos + 1, n)
+            if nxt < 0:
+                return
+            pos = nxt
+            continue
+        yield payload_off, header
+        pos = payload_off + header.payload_len
+
+
+def find_sync_file(f, start: int, n: int | None = None, chunk: int = 1 << 20) -> int:
+    """find_sync over an open file: windowed scan with bounded memory."""
+    if n is None:
+        f.seek(0, 2)
+        n = f.tell()
+    pos = start
+    while pos < n:
+        f.seek(pos)
+        data = f.read(chunk + constants.FRAME_HEADER_LENGTH)
+        if len(data) < constants.FRAME_HEADER_LENGTH:
+            return -1
+        r = find_sync(data, 0)
+        if r >= 0:
+            return pos + r
+        if pos + len(data) >= n:
+            return -1
+        pos += chunk
+    return -1
+
+
 def find_sync(data: bytes, start: int) -> int:
     """Vectorized scan for the next byte offset whose bytes look like a valid
     frame header ('x3' key + valid header CRC).  TPU-era replacement for the
@@ -140,6 +212,29 @@ def find_sync(data: bytes, start: int) -> int:
     stored = (arr[cand + 16].astype(np.uint16) << 8) | arr[cand + 17]
     ok = np.nonzero(crcs == stored)[0]
     return int(cand[ok[0]]) if len(ok) else -1
+
+
+def verify_payload_crcs_parts(payloads, want_crcs) -> np.ndarray:
+    """Batched payload CRC check over a list of payload byte strings.
+    Returns a bool array, True where the CRC matches the expected value."""
+    if not payloads:
+        return np.zeros(0, bool)
+    try:
+        from . import native
+
+        if native.available():
+            return np.asarray(
+                [native.crc16(p) == w for p, w in zip(payloads, want_crcs)], dtype=bool
+            )
+    except Exception:
+        pass
+    max_len = max(len(p) for p in payloads)
+    rows = np.zeros((len(payloads), max_len), dtype=np.uint8)
+    lens = np.zeros(len(payloads), dtype=np.int64)
+    for i, p in enumerate(payloads):
+        rows[i, : len(p)] = np.frombuffer(p, dtype=np.uint8)
+        lens[i] = len(p)
+    return crc16_many(rows, lens) == np.asarray(want_crcs, dtype=np.uint16)
 
 
 def verify_payload_crcs(data: bytes, index: list) -> np.ndarray:

@@ -29,7 +29,13 @@ def main(argv=None) -> int:
     )
     parser.add_argument("-i", "--input", metavar="FILE", required=True, help="The input file, a .wav or .x3a file")
     parser.add_argument("-o", "--output", metavar="FILE", required=True, help="The output file, a .wav or .x3a file")
-    parser.add_argument("--engine", choices=["jax", "native", "numpy"], default="jax", help="compute engine (default: jax)")
+    parser.add_argument(
+        "--engine",
+        choices=["auto", "jax", "native", "numpy"],
+        default="auto",
+        help="compute engine (default: auto — native host core for file "
+        "conversion, jax for device-resident batches)",
+    )
     parser.add_argument("--resync", action="store_true", help="skip corrupt frames instead of stopping at the first")
     parser.add_argument("-q", "--quiet", action="store_true", help="suppress statistics output")
     parser.add_argument("--block-len", type=int, default=None, help="encode block length (default 20)")

@@ -4,27 +4,37 @@ Parity surface with the reference's encodefile.rs / decodefile.rs, built on
 the batched device pipelines: a whole file's frames are encoded or decoded in
 a few large device calls instead of one frame at a time.
 
+Memory is bounded in BOTH directions (the reference streams with a 24 KiB
+read buffer and ~163 MB peak RSS on any archive size, decodefile.rs:44-45):
+encode reads the WAV in batch-size chunks; decode walks frame headers with
+seeks, reads payloads a batch at a time, and appends to the WAV
+incrementally.  Peak RSS is O(batch_frames), independent of file size.
+
 Behavior parity notes (decodefile.rs:105-136):
 * header or payload CRC mismatches raise (they propagate in the reference);
 * frame *decode* errors are counted and decoding stops at the first bad
   frame, like the reference's swallowed Ok(None);
 * with resync=True (our extension, enabled by the format's self-contained
   frames), corrupt frames are skipped via the sync scanner instead.
+
+engine="auto" (default) routes file conversion to the fastest engine for a
+host-I/O workload — see engine.resolve_engine.
 """
 
 from __future__ import annotations
 
-from pathlib import Path
+import wave
 
 import numpy as np
 
 from . import archive, constants
-from .errors import FrameHeaderInvalidPayloadCRC, X3Error
+from .engine import resolve_engine
+from .errors import FrameHeaderInvalidPayloadCRC, MoreThanOneChannel, X3Error
 from .models.decoder import decode_frames_batch
-from .models.encoder import EncodeResult, encode
+from .models.encoder import EncodeResult
 from .models import oracle
 from .params import Parameters, X3aSpec
-from .utils.wav import read_wav, write_wav
+from .utils.wav import WavWriter
 
 DEFAULT_BATCH_FRAMES = 256
 
@@ -33,131 +43,175 @@ def wav_to_x3a(
     wav_filename,
     x3a_filename,
     params: Parameters | None = None,
-    engine: str = "jax",
+    engine: str = "auto",
     verbose: bool = False,
+    batch_frames: int = DEFAULT_BATCH_FRAMES,
 ) -> EncodeResult:
     """Convert a mono 16-bit .wav file to an .x3a archive
-    (parity: encodefile.rs:48-77)."""
+    (parity: encodefile.rs:48-77).  Bounded memory: the WAV is read and
+    encoded in batch_frames-frame chunks (the IterChannel analogue,
+    encoder.rs:67-74)."""
+    from .streaming import StreamEncoder
+
+    engine = resolve_engine(engine)
     params = params or Parameters()
-    samples, sample_rate = read_wav(wav_filename)
-    header = archive.build_archive_header(sample_rate, params)
-    result = encode(samples, params, engine=engine)
-    with open(x3a_filename, "wb") as f:
-        f.write(header)
-        f.write(result.data)
+    with wave.open(str(wav_filename), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise X3Error(f"only 16-bit WAV supported, got {8 * w.getsampwidth()}-bit")
+        if w.getnchannels() != 1:
+            raise MoreThanOneChannel(f"only mono WAV supported, got {w.getnchannels()} channels")
+        rate = w.getframerate()
+        with StreamEncoder(x3a_filename, rate, params, engine, batch_frames) as enc:
+            chunk_samples = batch_frames * params.samples_per_frame
+            while True:
+                raw = w.readframes(chunk_samples)
+                if not raw:
+                    break
+                enc.write(np.frombuffer(raw, dtype="<i2"))
+            result = enc.close()
     if verbose:
         print(result.format_stats())
     return result
 
 
+def _decode_payload_batch(payloads, headers, params: Parameters, engine: str, resync: bool):
+    """Decode one batch of frame payloads with CRC verification.
+
+    Returns (outs list, errs array).  Without resync a payload-CRC mismatch
+    raises (decodefile.rs:93-103); with resync CRC-failed frames are marked
+    as errors so the caller skips and counts them."""
+    ns = [h.samples for h in headers]
+    want_crcs = [h.payload_crc for h in headers]
+
+    if engine == "jax":
+        # CRC verified on device, fused into the decode batch.
+        outs, errs, crc_ok = decode_frames_batch(payloads, ns, params, check_crcs=want_crcs)
+        if not crc_ok.all():
+            if not resync:
+                bad = int(np.nonzero(~crc_ok)[0][0])
+                raise FrameHeaderInvalidPayloadCRC(f"frame {bad} payload CRC mismatch")
+            errs = np.where(~crc_ok, 4, errs)  # 4 = payload CRC
+        return outs, errs
+
+    crc_ok = archive.verify_payload_crcs_parts(payloads, want_crcs)
+    if not resync and not crc_ok.all():
+        bad = int(np.nonzero(~crc_ok)[0][0])
+        raise FrameHeaderInvalidPayloadCRC(f"frame {bad} payload CRC mismatch")
+
+    if engine == "native":
+        from . import native as native_mod
+
+        # Fast path: frame-parallel native decode of the whole batch — only
+        # when every payload CRC checked out, so CRC-failed frames are never
+        # silently included.
+        if crc_ok.all():
+            try:
+                blob = b"".join(payloads)
+                idx, pos = [], 0
+                for p, h in zip(payloads, headers):
+                    idx.append((pos, h.samples, len(p)))
+                    pos += len(p)
+                flat = native_mod.decode_frames_mt(blob, idx, params)
+                outs, pos = [], 0
+                for h in headers:
+                    outs.append(flat[pos : pos + h.samples])
+                    pos += h.samples
+                return outs, np.zeros(len(payloads), bool)
+            except X3Error:
+                pass  # fall through to per-frame decode for error accounting
+        dec = lambda p, n: native_mod.decode_frame(p, params, n)
+    else:
+        dec = lambda p, n: oracle.decode_frame(p, params, n)
+
+    outs, errs = [], []
+    for p, n in zip(payloads, ns):
+        try:
+            outs.append(dec(p, n))
+            errs.append(False)
+        except X3Error:
+            outs.append(np.zeros(0, np.int16))
+            errs.append(True)
+    errs = np.asarray(errs)
+    if resync:
+        errs = errs | ~crc_ok
+    return outs, errs
+
+
+def _read_payloads(f, batch):
+    out = []
+    for off, h in batch:
+        f.seek(off)
+        out.append(f.read(h.payload_len))
+    return out
+
+
 def x3a_to_wav(
     x3a_filename,
     wav_filename,
-    engine: str = "jax",
+    engine: str = "auto",
     verbose: bool = False,
     resync: bool = False,
     batch_frames: int = DEFAULT_BATCH_FRAMES,
 ) -> int:
     """Convert an .x3a archive back to a .wav file
-    (parity: decodefile.rs:189-212).  Returns the number of frame errors."""
-    data = Path(x3a_filename).read_bytes()
-    spec, header_size = archive.parse_archive_header(data)
-    if verbose:
-        print(f"sample rate: {spec.sample_rate}")
-        print(f"block length: {spec.params.block_len}")
-        codes = spec.params.codes
-        print(f"Rice codes: RICE{codes[0]},RICE{codes[1]},RICE{codes[2]},BFP")
-        t = spec.params.thresholds
-        print(f"thresholds: {t[0]},{t[1]},{t[2]}")
+    (parity: decodefile.rs:189-212).  Returns the number of frame errors.
 
-    index = list(archive.walk_frames(data, header_size, resync=resync))
-    if engine == "jax":
-        crc_ok = None  # verified on device, fused into the decode batches
-    else:
-        crc_ok = archive.verify_payload_crcs(data, index)
-        if not resync and not crc_ok.all():
-            bad = int(np.nonzero(~crc_ok)[0][0])
-            raise FrameHeaderInvalidPayloadCRC(f"frame {bad} payload CRC mismatch")
-
+    Streaming: frames are indexed with header-only seeks and decoded a batch
+    at a time into an incrementally-written WAV, so peak memory is bounded by
+    batch_frames regardless of archive size (decodefile.rs:44-45)."""
+    engine = resolve_engine(engine)
     frame_errors = 0
-    chunks: list[np.ndarray] = []
-    stop = False
-    for base in range(0, len(index), batch_frames):
-        if stop:
-            break
-        batch = index[base : base + batch_frames]
-        payloads = [data[off : off + h.payload_len] for off, h in batch]
-        ns = [h.samples for _, h in batch]
-        if engine in ("numpy", "native"):
-            if engine == "native":
-                from . import native as native_mod
+    with open(x3a_filename, "rb") as f:
+        spec, header_size = archive.read_archive_header_file(f)
+        if verbose:
+            print(f"sample rate: {spec.sample_rate}")
+            print(f"block length: {spec.params.block_len}")
+            codes = spec.params.codes
+            print(f"Rice codes: RICE{codes[0]},RICE{codes[1]},RICE{codes[2]},BFP")
+            t = spec.params.thresholds
+            print(f"thresholds: {t[0]},{t[1]},{t[2]}")
 
-                # Fast path: frame-parallel native decode of the batch —
-                # only when every frame's payload CRC checked out, so
-                # CRC-failed frames are never silently included (with
-                # resync they must be skipped and counted instead).
-                batch_crcs_ok = bool(crc_ok[base : base + len(batch)].all())
-                try:
-                    if not batch_crcs_ok:
-                        raise X3Error("CRC-failed frames in batch")
-                    nat_index = [(off, h.samples, h.payload_len) for off, h in batch]
-                    flat = native_mod.decode_frames_mt(data, nat_index, spec.params)
-                    outs, errs, pos = [], [], 0
-                    for _, h in batch:
-                        outs.append(flat[pos : pos + h.samples])
-                        errs.append(False)
-                        pos += h.samples
-                    errs = np.asarray(errs)
-                    chunks.extend(outs)
-                    continue
-                except X3Error:
-                    # Fall through to per-frame decode for error accounting.
-                    dec = lambda p, n: native_mod.decode_frame(p, spec.params, n)
-            else:
-                dec = lambda p, n: oracle.decode_frame(p, spec.params, n)
-            outs, errs = [], []
-            for p, n in zip(payloads, ns):
-                try:
-                    outs.append(dec(p, n))
-                    errs.append(False)
-                except X3Error:
-                    outs.append(np.zeros(0, np.int16))
-                    errs.append(True)
-            errs = np.asarray(errs)
-        else:
-            want_crcs = [h.payload_crc for _, h in batch]
-            outs, errs, batch_crc_ok = decode_frames_batch(payloads, ns, spec.params, check_crcs=want_crcs)
-            if not resync and not batch_crc_ok.all():
-                bad = base + int(np.nonzero(~batch_crc_ok)[0][0])
-                raise FrameHeaderInvalidPayloadCRC(f"frame {bad} payload CRC mismatch")
-            if resync:
-                errs = np.where(~batch_crc_ok, 4, errs)  # 4 = payload CRC
-        if resync and crc_ok is not None:
-            errs = errs | ~crc_ok[base : base + len(batch)]
-        for i, (out, err) in enumerate(zip(outs, errs)):
-            if err:
-                frame_errors += 1
-                print(f"Frame error: frame {base + i} failed to decode")
-                if not resync:
-                    stop = True  # reference stops at the first bad frame
+        with WavWriter(wav_filename, spec.sample_rate) as wout:
+            walker = archive.walk_frames_file(f, header_size, resync=resync)
+            base = 0
+            stop = False
+            while not stop:
+                batch = []
+                for entry in walker:
+                    batch.append(entry)
+                    if len(batch) >= batch_frames:
+                        break
+                if not batch:
                     break
-                continue
-            chunks.append(out)
-
-    samples = np.concatenate(chunks) if chunks else np.zeros(0, np.int16)
-    write_wav(wav_filename, samples, spec.sample_rate)
+                payloads = _read_payloads(f, batch)
+                outs, errs = _decode_payload_batch(
+                    payloads, [h for _, h in batch], spec.params, engine, resync
+                )
+                for i, (out, err) in enumerate(zip(outs, errs)):
+                    if err:
+                        frame_errors += 1
+                        print(f"Frame error: frame {base + i} failed to decode")
+                        if not resync:
+                            stop = True  # reference stops at the first bad frame
+                            break
+                        continue
+                    wout.write(out)
+                base += len(batch)
     return frame_errors
 
 
 class X3aReader:
-    """Streaming frame-by-frame reader (parity: decodefile.rs:47-137)."""
+    """Streaming frame-by-frame reader (parity: decodefile.rs:47-137).
 
-    def __init__(self, filename, engine: str = "jax", batch_frames: int = DEFAULT_BATCH_FRAMES):
-        self._data = Path(filename).read_bytes()
-        self._spec, header_size = archive.parse_archive_header(self._data)
-        self._index = list(archive.walk_frames(self._data, header_size))
+    Holds only the header index (20 B/frame) and the current decoded batch
+    in memory; payloads are read with seeks per batch."""
+
+    def __init__(self, filename, engine: str = "auto", batch_frames: int = DEFAULT_BATCH_FRAMES):
+        self._f = open(filename, "rb")
+        self._spec, header_size = archive.read_archive_header_file(self._f)
+        self._index = list(archive.walk_frames_file(self._f, header_size))
         self._cursor = 0
-        self._engine = engine
+        self._engine = resolve_engine(engine)
         self._batch_frames = batch_frames
         self._cache: dict[int, np.ndarray | None] = {}
         self.frame_errors = 0
@@ -166,6 +220,15 @@ class X3aReader:
     @classmethod
     def open(cls, filename, **kw) -> "X3aReader":
         return cls(filename, **kw)
+
+    def close(self) -> None:
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
     @property
     def spec(self) -> X3aSpec:
@@ -176,37 +239,15 @@ class X3aReader:
 
     def _decode_batch(self, base: int):
         batch = self._index[base : base + self._batch_frames]
-        payloads = [self._data[off : off + h.payload_len] for off, h in batch]
-        ns = [h.samples for _, h in batch]
-        # Payload CRC check (decodefile.rs:93-103) raises like the reference;
-        # the jax engine verifies on device, fused into the decode batch.
-        if self._engine != "jax":
-            ok = archive.verify_payload_crcs(self._data, batch)
-            if not ok.all():
-                bad = base + int(np.nonzero(~ok)[0][0])
-                raise FrameHeaderInvalidPayloadCRC(f"frame {bad} payload CRC mismatch")
-        if self._engine in ("numpy", "native"):
-            if self._engine == "native":
-                from . import native as native_mod
-
-                dec = lambda p, n: native_mod.decode_frame(p, self._spec.params, n)
-            else:
-                dec = lambda p, n: oracle.decode_frame(p, self._spec.params, n)
-            for i, (p, n) in enumerate(zip(payloads, ns)):
-                try:
-                    self._cache[base + i] = dec(p, n)
-                except X3Error:
-                    self._cache[base + i] = None
-        else:
-            want_crcs = [h.payload_crc for _, h in batch]
-            outs, errs, crc_ok = decode_frames_batch(
-                payloads, ns, self._spec.params, check_crcs=want_crcs
-            )
-            if not crc_ok.all():
-                bad = base + int(np.nonzero(~crc_ok)[0][0])
-                raise FrameHeaderInvalidPayloadCRC(f"frame {bad} payload CRC mismatch")
-            for i, (out, err) in enumerate(zip(outs, errs)):
-                self._cache[base + i] = None if err else out
+        payloads = _read_payloads(self._f, batch)
+        # Payload CRC mismatches raise like the reference
+        # (decodefile.rs:93-103); decode errors become None entries.
+        outs, errs = _decode_payload_batch(
+            payloads, [h for _, h in batch], self._spec.params, self._engine, resync=False
+        )
+        self._cache = {}  # keep only the current batch resident
+        for i, (out, err) in enumerate(zip(outs, errs)):
+            self._cache[base + i] = None if err else out
 
     def decode_next_frame(self) -> np.ndarray | None:
         """Next frame's samples, or None at EOF / after the first bad frame

@@ -43,11 +43,15 @@ def build_frame_headers(n_samples: np.ndarray, source_id: int, payload_lens: np.
 
 class EncodeResult:
     """Encoded stream plus statistics (structured replacement for the
-    reference's stdout statistics, encoder.rs:96-108)."""
+    reference's stdout statistics, encoder.rs:96-108).
 
-    def __init__(self, data: bytes, stats: np.ndarray):
+    Streaming APIs write frames to a file as they go; they return data=b""
+    and set nbytes to the total frame-stream size written."""
+
+    def __init__(self, data: bytes, stats: np.ndarray, nbytes: int | None = None):
         self.data = data
         self.stats = stats  # int64 [6]
+        self.nbytes = len(data) if nbytes is None else nbytes
 
     def format_stats(self) -> str:
         t = max(1, int(self.stats.sum()))
@@ -95,7 +99,9 @@ def encode(
         from .. import native
 
         st = [0] * 6
-        data = native.encode(samples, params, st)
+        # All cores: frame ranges encode in parallel with byte-identical
+        # output (frames are self-contained).
+        data = native.encode(samples, params, st, nthreads=0)
         stats += np.asarray(st, dtype=np.int64)
         return EncodeResult(data, stats)
     if engine != "jax":

@@ -51,6 +51,7 @@ class StreamEncoder:
         self._spf = self.params.samples_per_frame
         self._buffer = np.zeros(0, dtype=np.int16)
         self._stats = np.zeros(6, dtype=np.int64)
+        self._nbytes = 0
         self._closed = False
         self._own_file = isinstance(out_file, (str, bytes)) or hasattr(out_file, "__fspath__")
         self._f = open(out_file, "wb") if self._own_file else out_file
@@ -70,19 +71,20 @@ class StreamEncoder:
     def _emit(self, samples: np.ndarray) -> None:
         res = encode(samples, self.params, engine=self.engine, batch_frames=self.batch_frames)
         self._stats += res.stats
+        self._nbytes += len(res.data)
         self._f.write(res.data)
 
     def close(self) -> EncodeResult:
         """Flush the tail (may include one partial frame) and return stats."""
         if self._closed:
-            return EncodeResult(b"", self._stats)
+            return EncodeResult(b"", self._stats, nbytes=self._nbytes)
         if len(self._buffer):
             self._emit(self._buffer)
             self._buffer = np.zeros(0, dtype=np.int16)
         self._closed = True
         if self._own_file:
             self._f.close()
-        return EncodeResult(b"", self._stats)
+        return EncodeResult(b"", self._stats, nbytes=self._nbytes)
 
     def __enter__(self):
         return self

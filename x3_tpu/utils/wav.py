@@ -35,3 +35,30 @@ def write_wav(path, samples: np.ndarray, sample_rate: int) -> None:
         w.setsampwidth(2)
         w.setframerate(sample_rate)
         w.writeframes(samples.tobytes())
+
+
+class WavWriter:
+    """Incremental mono 16-bit WAV writer (the hound WavWriter analogue,
+    decodefile.rs:200-227): samples are appended batch by batch so decode
+    memory stays bounded by the batch size."""
+
+    def __init__(self, path, sample_rate: int):
+        self._w = wave.open(str(path), "wb")
+        self._w.setnchannels(1)
+        self._w.setsampwidth(2)
+        self._w.setframerate(sample_rate)
+        self.samples_written = 0
+
+    def write(self, samples: np.ndarray) -> None:
+        samples = np.ascontiguousarray(samples, dtype="<i2")
+        self._w.writeframes(samples.tobytes())
+        self.samples_written += len(samples)
+
+    def close(self) -> None:
+        self._w.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
