@@ -90,7 +90,10 @@ def main():
     # --- device decode (512-frame batches keep the payload VMEM-resident;
     #     payload bytes are produced on-device so the tunnel's slow D2H
     #     path never enters the measurement) ---
-    dec_batch = min(batch_frames, 512)
+    # The chunked decode kernel's fixed per-step cost amortizes over wide
+    # batches — bench at the full batch (sweet spot is F >= 1024).
+    dec_batch = int(os.environ.get("X3_BENCH_DECODE_BATCH", str(batch_frames)))
+    dec_batch = min(dec_batch, batch_frames)
     dec_frames_in = dev_frames[:dec_batch]
     dec_nvalid = jax.device_put(n_valid[:dec_batch])
 

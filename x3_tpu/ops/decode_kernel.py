@@ -9,15 +9,28 @@ payload (SURVEY.md §5 "checkpoint/resume") — so the frame axis is the
 parallel axis: all lanes of a [F] batch step through their bitstreams in
 lockstep, every per-sample operation a branch-free vector op across frames.
 
-Fusion-friendly structure: a block's bits fit a small static window, so each
-`lax.scan` step performs ONE sliced gather per lane (a few contiguous 4-word
-slices — TPU gathers price per index, not per element) and decodes the whole
-block from registers with pure elementwise ops — unary zero counts via clz,
-Rice suffix extraction, fixed-width BFP fields — selected by masks.  The
-sample walk is unrolled for block_len <= 24 and a rolling-register lax.scan
-beyond that (compile cost O(1) in block_len).  Block outputs stack via scan
-ys; flattening them yields the sample stream directly because every block
-occupies exactly `block_len` slots.
+Performance model (measured on v5e, see ROADMAP.md): the actual VPU compute
+of the whole walk is tiny; the cost that dominates a naive one-gather-per-
+block scan is the PER-STEP latency of a data-dependent gather inside
+`lax.scan` (~10 us/step — the DMA cannot be prefetched because its indices
+come from the previous iteration's decode).  The kernel therefore:
+
+* processes U blocks per scan step with ONE shared K*G-word slice gather
+  (U*MAXADV words of worst-case advance fit in the gathered window), cutting
+  dependent-DMA steps from B to ceil(B/U);
+* realigns each block's WIN-word window out of the gathered buffer with a
+  log-depth barrel shifter (binary select stages), not an O(G) select chain;
+* extracts each code's 32-bit view with a barrel pick of 2 words whose
+  select depth is bounded per unrolled sample k (sample k of a block cannot
+  start more than (37+16k)/32 words in — codes are <= 16 bits);
+* keeps per-step state in registers so wide batches (F = 2048+) amortize the
+  remaining fixed step cost — throughput scales with F, unlike the
+  VMEM-bound design this replaces.
+
+The sample walk is unrolled for block_len <= 24 and a rolling-register
+lax.scan beyond that (compile cost O(1) in block_len).  Block outputs stack
+via scan ys; flattening them yields the sample stream directly because every
+block occupies exactly `block_len` slots.
 """
 
 from __future__ import annotations
@@ -31,6 +44,37 @@ import numpy as np
 from .. import constants
 from ..params import Parameters
 from .encode_kernel import block_buffer_words, frame_geometry
+
+# Per-frame decode error codes (parity with the reference's X3Error variants,
+# error.rs:27-62): 0 ok, 1 invalid BFP (num_bits<=5, decoder.rs:209-212),
+# 2 out-of-bounds inverse (decoder.rs:162-192), 3 bitstream overran the
+# payload (unexpected end).  Host mapping lives in errors.decode_error().
+ERR_OK = 0
+ERR_INVALID_BPF = 1
+ERR_OOB_INVERSE = 2
+ERR_OVERRUN = 3
+
+# Chunked-gather geometry: G-word slice granularity, K slices per gather.
+# On TPU, wide chunks (U blocks per dependent gather) amortize the per-step
+# DMA latency; XLA:CPU compile time explodes on the wide-chunk trace, so the
+# CPU config keeps small per-block windows (the chunked code path itself is
+# still exercised on CPU by the tiny-params tests, where U > 1 compiles
+# quickly).  Correctness is config-independent: all configs are bit-exact.
+def _gather_geometry(L: int, WIN: int) -> tuple[int, int, int]:
+    """(G, K, U) for the current backend.
+
+    Constraint: the first block may start G-1 words into the gathered K*G
+    window, each block advances at most MAXADV words, and every block needs
+    WIN words of lookahead: (G-1) + U*MAXADV + WIN <= K*G."""
+    import jax
+
+    maxadv = (6 + 16 * L + 31) // 32 + 1
+    G = 64 if jax.default_backend() != "cpu" else 16
+    K = max(2, -(-(G - 1 + WIN + maxadv) // G))
+    U = max(1, (K * G - G + 1 - WIN) // maxadv)
+    if jax.default_backend() == "cpu":
+        U = min(U, 1 if L > 8 else U)  # keep CPU trace small for big blocks
+    return G, K, U
 
 
 def _decode_tables(params: Parameters):
@@ -55,14 +99,30 @@ def _inv_rice(i):
     return jnp.where((i & 1) == 1, -half, half)
 
 
-# Per-frame decode error codes (parity with the reference's X3Error variants,
-# error.rs:27-62): 0 ok, 1 invalid BFP (num_bits<=5, decoder.rs:209-212),
-# 2 out-of-bounds inverse (decoder.rs:162-192), 3 bitstream overran the
-# payload (unexpected end).  Host mapping lives in errors.decode_error().
-ERR_OK = 0
-ERR_INVALID_BPF = 1
-ERR_OOB_INVERSE = 2
-ERR_OVERRUN = 3
+def _barrel(cur: list, idx, nout: int, maxidx: int) -> list:
+    """[cur[idx+i] for i in range(nout)] via log-depth binary select stages.
+
+    cur: list of [F] arrays; idx: [F] int32 in [0, maxidx] (entries past
+    len(cur) read as zero).  Total selects ~ maxidx + nout*log2(maxidx),
+    depth log2(maxidx) — vs an O(maxidx*nout) chain with depth maxidx."""
+    if maxidx <= 0:
+        return [cur[i] if i < len(cur) else jnp.zeros_like(cur[0]) for i in range(nout)]
+    zero = jnp.zeros_like(cur[0])
+    sh = 1
+    stages = []
+    while sh <= maxidx:
+        stages.append(sh)
+        sh <<= 1
+    for sh in reversed(stages):
+        bit = (idx & sh) != 0
+        keep = min(len(cur), nout + sh - 1)
+        cur = [
+            jnp.where(bit, cur[i + sh] if i + sh < len(cur) else zero, cur[i])
+            for i in range(keep)
+        ]
+    return [cur[i] if i < len(cur) else zero for i in range(nout)]
+
+
 
 
 @functools.partial(jax.jit, static_argnums=(3,))
@@ -92,9 +152,12 @@ def decode_frames(payload: jax.Array, n_samples: jax.Array, params: Parameters):
 
 def _decode_impl(payload: jax.Array, n_samples: jax.Array, params: Parameters):
     S, B, L, W = frame_geometry(params)
-    WIN_WORDS = block_buffer_words(params)  # covers any block + start skew
+    WIN = block_buffer_words(params)  # covers any block + start skew
     F = payload.shape[0]
     nsubs_np, invlen_np = _decode_tables(params)
+    G, K, U = _gather_geometry(L, WIN)
+    steps = -(-B // U)
+    gbits = G.bit_length() - 1
 
     by = payload.astype(jnp.uint32).reshape(F, W, 4)
     words = (by[:, :, 0] << 24) | (by[:, :, 1] << 16) | (by[:, :, 2] << 8) | by[:, :, 3]
@@ -102,170 +165,158 @@ def _decode_impl(payload: jax.Array, n_samples: jax.Array, params: Parameters):
     n = n_samples.astype(jnp.int32)
     first = _wrap16(((words[:, 0] >> 16) & 0xFFFF).astype(jnp.int32))
 
-    # TPU gathers cost per-index, not per-element, so the per-block window
-    # load is 4 contiguous 4-word slices (cheap) realigned to the block's
-    # start word with 4-way selects (free), instead of 12 scattered words.
-    G = 16  # slice width in words (gathers price per index: fewer, wider slices)
-    K = -(-(WIN_WORDS + G - 1) // G)  # G*K >= WIN + G-1 covers [sw, sw+WIN), sw-Gq <= G-1
-    # Pad so the last block's 16-word window never clips q (which would
-    # break the delta realignment below).
+    # Zero-pad so any clamped slice index stays in range; zeros decode as
+    # end-of-data (matching the BitReader's tail-zero semantics).
     pad_w = K * G + (-(W + K * G)) % G
     wpad = jnp.concatenate([words, jnp.zeros((F, pad_w), jnp.uint32)], axis=1)
-    wg = wpad.reshape(F, (W + pad_w) // G, G)
+    Wg = (W + pad_w) // G
+    wg = wpad.reshape(F, Wg, G)
     slice_iota = jnp.arange(K, dtype=jnp.int32)[None, :]
 
-    def select_word(win, idx):
-        """win[:, idx] per lane via a WIN_WORDS-way elementwise select."""
-        v = jnp.zeros_like(win[:, 0])
-        for i in range(WIN_WORDS):
-            v = jnp.where(idx == i, win[:, i], v)
-        return v
-
-    def extract32(win, rel, qmax=None):
-        """32-bit big-endian view at in-window bit offset rel.  Independent
-        selects per call — shorter dependency chains than the rolling
-        window, so this is the fast path for small unrolled block_len.
-        `qmax` statically bounds the word index (codes are <= 16 bits, so
-        sample k of a block can only start within the first few words)."""
-        q = rel >> 5
-        r = (rel & 31).astype(jnp.uint32)
-        hi = min(WIN_WORDS, (qmax if qmax is not None else WIN_WORDS - 1) + 1)
-        w0 = jnp.zeros_like(win[:, 0])
-        w1 = jnp.zeros_like(win[:, 0])
-        for i in range(hi):
-            w0 = jnp.where(q == i, win[:, i], w0)
-        for i in range(min(WIN_WORDS, hi + 1)):
-            w1 = jnp.where(q + 1 == i, win[:, i], w1)
-        return (w0 << r) | ((w1 >> (31 - r)) >> 1)
-
-    def block_body(carry, b):
+    def chunk_body(carry, j):
         off, last, err = carry
-        block_first = 1 + b * L
-        valid_block = block_first < n
-
-        # One sliced gather per block: K contiguous G-word slices, then
-        # realign to the block's start word with (G-1)-way selects.
-        sw = jnp.clip(off >> 5, 0, W - 1)
-        gshift = G.bit_length() - 1
-        q = sw >> gshift  # padded array keeps [G*q, G*q+K*G) in range
+        # ONE dependent gather per U blocks: K contiguous G-word slices.
+        sw0 = jnp.clip(off >> 5, 0, W - 1)
+        q = jnp.clip(sw0 >> gbits, 0, Wg - K)
         raw = jnp.take_along_axis(wg, (q[:, None] + slice_iota)[:, :, None], axis=1)
-        raw = raw.reshape(F, K * G)  # [F, K*G] words starting at word G*q
-        delta = sw - (q << gshift)  # 0..G-1
-        win = []
-        for i in range(WIN_WORDS):
-            v = raw[:, i]
-            for d in range(1, G):
-                v = jnp.where(delta == d, raw[:, i + d], v)
-            win.append(v)
-        win = jnp.stack(win, axis=1)  # [F, WIN_WORDS] aligned at sw
-        rel = off - (sw << 5)  # in-window bit offset (0..31 at block start)
+        rawl = [r for r in jnp.moveaxis(raw.reshape(F, K * G), 1, 0)]
+        base_word = q << gbits
 
-        hdr = extract32(win, rel, qmax=1)  # block header: rel <= 31
-        ftype = (hdr >> 30).astype(jnp.int32)
-        dec_nb = ((hdr >> 26) & 0xF).astype(jnp.int32) + 1
-        is_hdr0 = ftype == 0
-        is_pass = is_hdr0 & (dec_nb == 16)
-        bpf_err = valid_block & is_hdr0 & (dec_nb <= 5)
-        rel = rel + jnp.where(is_hdr0, constants.BFP_HDR_LEN, constants.RICE_HDR_LEN)
+        blks = []
+        for u in range(U):
+            b = j * U + u
+            block_first = 1 + b * L
+            valid_block = block_first < n
 
-        # Per-ftype constants via small selects (params are static).
-        nsubs_f = jnp.where(ftype == 2, int(nsubs_np[2]), int(nsubs_np[3]))
-        invlen_f = jnp.where(
-            ftype == 1, int(invlen_np[1]), jnp.where(ftype == 2, int(invlen_np[2]), int(invlen_np[3]))
-        )
-        level = (1 << nsubs_f).astype(jnp.int32)
-        nbsuf = jnp.where(ftype == 2, 2, 4)  # decoder.rs:180 quirk: hardwired
-        dec_nb_u = jnp.clip(dec_nb, 1, 31).astype(jnp.uint32)
-        neg_thresh = 1 << jnp.clip(dec_nb - 1, 0, 30)
+            # Realign this block's WIN-word window out of the gathered
+            # buffer (log-depth barrel; delta clamp keeps garbage lanes in
+            # range — they are error-flagged anyway).
+            sw = jnp.clip(off >> 5, 0, W - 1)
+            delta = jnp.clip(sw - base_word, 0, K * G - WIN)
+            winl = _barrel(rawl, delta, WIN, K * G - WIN)
+            rel = off - ((base_word + delta) << 5)
 
-        def decode_math(win32, last, oob, valid):
-            """Branch-free decode of one sample from its 32-bit window.
-            Returns (new_sample, consumed_bits, oob flag)."""
-            zeros = jax.lax.clz(win32).astype(jnp.int32)
-            zc = jnp.clip(zeros, 0, 31).astype(jnp.uint32)
+            def extract32(rel, kmax=None):
+                """32-bit big-endian view at in-window bit offset rel.
+                kmax statically bounds the word index: sample k starts at
+                most (37 + 16k) bits in, so early samples need only a
+                1-2 deep barrel."""
+                qq = rel >> 5
+                r = (rel & 31).astype(jnp.uint32)
+                hi = WIN - 1 if kmax is None else min(WIN - 1, kmax)
+                w0, w1 = _barrel(winl, qq, 2, hi)
+                return (w0 << r) | ((w1 >> (31 - r)) >> 1)
 
-            # Rice ftype 1: unary index + stop bit (decoder.rs:147-170)
-            # Rice ftype 2/3: unary + suffix (decoder.rs:172-196)
-            suffix = ((win32 << zc) >> (32 - nbsuf.astype(jnp.uint32))).astype(jnp.int32)
-            idx = jnp.where(ftype == 1, zeros, suffix + level * (zeros - 1))
-            is_rice = ftype >= 1
-            oob = oob | (valid & is_rice & ((idx < 0) | (idx >= invlen_f)))
-            delta_rice = _inv_rice(jnp.clip(idx, 0, 59))
+            hdr = extract32(rel, kmax=1)  # block header: rel <= 31
+            ftype = (hdr >> 30).astype(jnp.int32)
+            dec_nb = ((hdr >> 26) & 0xF).astype(jnp.int32) + 1
+            is_hdr0 = ftype == 0
+            is_pass = is_hdr0 & (dec_nb == 16)
+            bpf_err = valid_block & is_hdr0 & (dec_nb <= 5)
+            rel = rel + jnp.where(is_hdr0, constants.BFP_HDR_LEN, constants.RICE_HDR_LEN)
 
-            # BFP / pass-through: fixed dec_nb-bit field (decoder.rs:209-235)
-            a = (win32 >> (32 - dec_nb_u)).astype(jnp.int32)
-            delta_bfp = a - jnp.where(a > neg_thresh, neg_thresh * 2, 0)
-            v_pass = _wrap16((win32 >> 16).astype(jnp.int32))
-
-            delta = jnp.where(is_rice, delta_rice, delta_bfp)
-            new = jnp.where(is_pass, v_pass, _wrap16(last + delta))
-            consume = jnp.where(
-                ftype == 1, zeros + 1, jnp.where(is_rice, zeros + nbsuf, dec_nb)
+            # Per-ftype constants via small selects (params are static).
+            nsubs_f = jnp.where(ftype == 2, int(nsubs_np[2]), int(nsubs_np[3]))
+            invlen_f = jnp.where(
+                ftype == 1, int(invlen_np[1]), jnp.where(ftype == 2, int(invlen_np[2]), int(invlen_np[3]))
             )
-            return new, consume, oob
+            level = (1 << nsubs_f).astype(jnp.int32)
+            nbsuf = jnp.where(ftype == 2, 2, 4)  # decoder.rs:180 quirk: hardwired
+            dec_nb_u = jnp.clip(dec_nb, 1, 31).astype(jnp.uint32)
+            neg_thresh = 1 << jnp.clip(dec_nb - 1, 0, 30)
 
-        oob = jnp.zeros_like(valid_block)
-        if L <= 24:
-            # Small blocks (incl. the default 20): fully unrolled; each
-            # sample extracts its window independently — short dependency
-            # chains, everything fuses.
-            outs = []
-            for k in range(L):
-                valid = valid_block & ((block_first + k) < n)
-                win32 = extract32(win, rel)
-                new, consume, oob = decode_math(win32, last, oob, valid)
-                rel = rel + jnp.where(valid, consume, 0)
-                last = jnp.where(valid, new, last)
-                outs.append(new)
-            blk = jnp.stack(outs, axis=1)  # [F, L]
-            off = (sw << 5) + rel
-        else:
-            # Large blocks: a rolling 64-bit register window inside lax.scan
-            # keeps the trace (and compile time) O(1) in block_len.
-            widx = rel >> 5
-            r = rel & 31
-            w0 = select_word(win, widx)
-            w1 = select_word(win, widx + 1)
+            def decode_math(win32, last, oob, valid):
+                """Branch-free decode of one sample from its 32-bit window.
+                Returns (new_sample, consumed_bits, oob flag).  Consumption
+                is clamped to 16 bits — no legal code is longer (Rice worst
+                case 15 zeros + stop; BFP/literal <= 16), and the clamp
+                bounds garbage lanes' window advance (they are flagged)."""
+                zeros = jax.lax.clz(win32).astype(jnp.int32)
+                zc = jnp.clip(zeros, 0, 31).astype(jnp.uint32)
 
-            def sample_step(state, k):
-                widx, r, w0, w1, last, oob = state
-                valid = valid_block & ((block_first + k) < n)
-                ru = r.astype(jnp.uint32)
-                win32 = (w0 << ru) | ((w1 >> (31 - ru)) >> 1)
-                new, consume, oob = decode_math(win32, last, oob, valid)
-                # Valid codes never exceed 16 bits; clamping keeps the
-                # rolling invariant (r < 32 -> single-word advance) on
-                # garbage lanes, which are error-flagged anyway.
+                # Rice ftype 1: unary index + stop bit (decoder.rs:147-170)
+                # Rice ftype 2/3: unary + suffix (decoder.rs:172-196)
+                suffix = ((win32 << zc) >> (32 - nbsuf.astype(jnp.uint32))).astype(jnp.int32)
+                idx = jnp.where(ftype == 1, zeros, suffix + level * (zeros - 1))
+                is_rice = ftype >= 1
+                oob = oob | (valid & is_rice & ((idx < 0) | (idx >= invlen_f)))
+                delta_rice = _inv_rice(jnp.clip(idx, 0, 59))
+
+                # BFP / pass-through: fixed dec_nb-bit field (decoder.rs:209-235)
+                a = (win32 >> (32 - dec_nb_u)).astype(jnp.int32)
+                delta_bfp = a - jnp.where(a > neg_thresh, neg_thresh * 2, 0)
+                v_pass = _wrap16((win32 >> 16).astype(jnp.int32))
+
+                delta = jnp.where(is_rice, delta_rice, delta_bfp)
+                new = jnp.where(is_pass, v_pass, _wrap16(last + delta))
+                consume = jnp.where(
+                    ftype == 1, zeros + 1, jnp.where(is_rice, zeros + nbsuf, dec_nb)
+                )
                 consume = jnp.minimum(consume, 16)
-                r = r + jnp.where(valid, consume, 0)
-                carry = r >= 32
-                r = r - jnp.where(carry, 32, 0)
-                w0 = jnp.where(carry, w1, w0)
-                w1 = jnp.where(carry, select_word(win, widx + 2), w1)
-                widx = widx + carry.astype(jnp.int32)
-                last = jnp.where(valid, new, last)
-                return (widx, r, w0, w1, last, oob), new
+                return new, consume, oob
 
-            state = (widx, r, w0, w1, last, oob)
-            state, outs = jax.lax.scan(sample_step, state, jnp.arange(L, dtype=jnp.int32))
-            widx, r, w0, w1, last, oob = state
-            blk = jnp.transpose(outs, (1, 0))
-            off = (sw << 5) + (widx << 5) + r
-        # First error wins (reference decode stops at the first bad block,
-        # decodefile.rs:128-135); BFP-header and Rice-OOB errors are mutually
-        # exclusive within one block, so this ordering is exact.
-        blk_code = jnp.where(bpf_err, ERR_INVALID_BPF, jnp.where(oob, ERR_OOB_INVERSE, ERR_OK))
-        err = jnp.where(err != ERR_OK, err, blk_code)
-        return (off, last, err), blk
+            oob = jnp.zeros_like(valid_block)
+            if L <= 24:
+                # Small blocks (incl. the default 20): fully unrolled; each
+                # sample extracts its window independently — short
+                # dependency chains, everything fuses.
+                outs = []
+                for k in range(L):
+                    valid = valid_block & ((block_first + k) < n)
+                    win32 = extract32(rel, kmax=(37 + 16 * k) >> 5)
+                    new, consume, oob = decode_math(win32, last, oob, valid)
+                    rel = rel + jnp.where(valid, consume, 0)
+                    last = jnp.where(valid, new, last)
+                    outs.append(new)
+                blk = jnp.stack(outs, axis=1)  # [F, L]
+            else:
+                # Large blocks: a rolling 64-bit register window inside
+                # lax.scan keeps the trace (and compile time) O(1) in
+                # block_len.
+                widx = rel >> 5
+                r = rel & 31
+                (w0,) = _barrel(winl, widx, 1, WIN - 1)
+                (w1,) = _barrel(winl, widx + 1, 1, WIN - 1)
+
+                def sample_step(state, k):
+                    widx, r, w0, w1, last, oob = state
+                    valid = valid_block & ((block_first + k) < n)
+                    ru = r.astype(jnp.uint32)
+                    win32 = (w0 << ru) | ((w1 >> (31 - ru)) >> 1)
+                    new, consume, oob = decode_math(win32, last, oob, valid)
+                    r = r + jnp.where(valid, consume, 0)
+                    carry_w = r >= 32
+                    r = r - jnp.where(carry_w, 32, 0)
+                    w0 = jnp.where(carry_w, w1, w0)
+                    (wnext,) = _barrel(winl, widx + 2, 1, WIN - 1)
+                    w1 = jnp.where(carry_w, wnext, w1)
+                    widx = widx + carry_w.astype(jnp.int32)
+                    last = jnp.where(valid, new, last)
+                    return (widx, r, w0, w1, last, oob), new
+
+                state = (widx, r, w0, w1, last, oob)
+                state, souts = jax.lax.scan(sample_step, state, jnp.arange(L, dtype=jnp.int32))
+                widx, r, w0, w1, last, oob = state
+                blk = jnp.transpose(souts, (1, 0))
+                rel = (widx << 5) + r
+
+            off = ((base_word + delta) << 5) + rel
+            # First error wins (reference decode stops at the first bad
+            # block, decodefile.rs:128-135); BFP-header and Rice-OOB errors
+            # are mutually exclusive within one block, so this is exact.
+            blk_code = jnp.where(bpf_err, ERR_INVALID_BPF, jnp.where(oob, ERR_OOB_INVERSE, ERR_OK))
+            err = jnp.where(err != ERR_OK, err, blk_code)
+            blks.append(blk)
+        return (off, last, err), jnp.concatenate(blks, axis=1)  # [F, U*L]
 
     off0 = n * 0 + 16  # bitstream starts after the raw first sample
     err0 = jnp.zeros_like(n)
     (off, last, err), blocks = jax.lax.scan(
-        block_body, (off0, first, err0), jnp.arange(B, dtype=jnp.int32)
+        chunk_body, (off0, first, err0), jnp.arange(steps, dtype=jnp.int32)
     )
-    # blocks: [B, F, L] -> sample stream [F, B*L]; slot b*L+k is sample
-    # 1 + b*L + k, so prepending the raw first sample gives the frame.
-    flat = jnp.transpose(blocks, (1, 0, 2)).reshape(F, B * L)
+    # blocks: [steps, F, U*L] -> sample stream [F, steps*U*L]; slot b*L+k is
+    # sample 1 + b*L + k, so prepending the raw first sample gives the frame.
+    flat = jnp.transpose(blocks, (1, 0, 2)).reshape(F, steps * U * L)
     out = jnp.concatenate([first[:, None], flat[:, : S - 1]], axis=1)
     err = jnp.where(err != ERR_OK, err, jnp.where(off > jnp.int32(W * 32), ERR_OVERRUN, ERR_OK))
     return out.astype(jnp.int16), err, words
