@@ -71,13 +71,16 @@ def main():
 
     batch_frames = int(os.environ.get("X3_BENCH_BATCH", "1024"))
     reps = int(os.environ.get("X3_BENCH_REPS", "10"))
-    wav = make_corpus(batch_frames, spf)
-    in_mb = wav.nbytes / 1e6
+    # Decode's chunked kernel amortizes its fixed per-step cost over wide
+    # batches — its sweet spot (F=2048) is wider than encode's (F=1024).
+    dec_batch = int(os.environ.get("X3_BENCH_DECODE_BATCH", str(2 * batch_frames)))
+    wav = make_corpus(max(batch_frames, dec_batch), spf)
+    in_mb = batch_frames * spf * 2 / 1e6
 
-    frames = wav.reshape(batch_frames, spf)
-    n_valid = np.full(batch_frames, spf, np.int32)
-    dev_frames = jax.device_put(frames)
-    dev_nvalid = jax.device_put(n_valid)
+    frames = wav.reshape(-1, spf)
+    n_valid = np.full(len(frames), spf, np.int32)
+    dev_frames = jax.device_put(frames[:batch_frames])
+    dev_nvalid = jax.device_put(n_valid[:batch_frames])
 
     # --- device encode (input-resident, scalar-synced) ---
     enc_sync = jax.jit(
@@ -87,14 +90,9 @@ def main():
     )
     dev_encode_mbs = in_mb / timed(enc_sync, (dev_frames, dev_nvalid), reps)
 
-    # --- device decode (512-frame batches keep the payload VMEM-resident;
-    #     payload bytes are produced on-device so the tunnel's slow D2H
-    #     path never enters the measurement) ---
-    # The chunked decode kernel's fixed per-step cost amortizes over wide
-    # batches — bench at the full batch (sweet spot is F >= 1024).
-    dec_batch = int(os.environ.get("X3_BENCH_DECODE_BATCH", str(batch_frames)))
-    dec_batch = min(dec_batch, batch_frames)
-    dec_frames_in = dev_frames[:dec_batch]
+    # --- device decode (payload bytes are produced on-device so the
+    #     tunnel's slow D2H path never enters the measurement) ---
+    dec_frames_in = jax.device_put(frames[:dec_batch])
     dec_nvalid = jax.device_put(n_valid[:dec_batch])
 
     @jax.jit
@@ -123,10 +121,11 @@ def main():
     decode_exact = bool(check(dev_payload, dec_nvalid, dec_frames_in))
 
     # --- end-to-end jax encode (host framing + transfers + assembly) ---
+    e2e_mb = wav.nbytes / 1e6
     res = encode(wav, params, batch_frames=batch_frames)  # warm
     t0 = time.perf_counter()
     res = encode(wav, params, batch_frames=batch_frames)
-    e2e_jax_encode_mbs = in_mb / (time.perf_counter() - t0)
+    e2e_jax_encode_mbs = e2e_mb / (time.perf_counter() - t0)
     ratio = wav.nbytes / len(res.data)
 
     # --- bit-exactness spot check vs the oracle (first 2 frames) ---
@@ -146,11 +145,11 @@ def main():
         wav_to_x3a(wp, xp)  # warm (builds the native lib on first use)
         t0 = time.perf_counter()
         wav_to_x3a(wp, xp)
-        e2e_encode_mbs = in_mb / (time.perf_counter() - t0)
+        e2e_encode_mbs = e2e_mb / (time.perf_counter() - t0)
         x3a_to_wav(xp, bp)  # warm
         t0 = time.perf_counter()
         errors = x3a_to_wav(xp, bp)
-        e2e_decode_mbs = in_mb / (time.perf_counter() - t0)
+        e2e_decode_mbs = e2e_mb / (time.perf_counter() - t0)
         back, _ = read_wav(bp)
         e2e_exact = errors == 0 and np.array_equal(back, wav)
 
