@@ -70,7 +70,9 @@ def main():
     S, B, L, W = frame_geometry(params)
 
     batch_frames = int(os.environ.get("X3_BENCH_BATCH", "1024"))
-    reps = int(os.environ.get("X3_BENCH_REPS", "10"))
+    # Per-call dispatch on the tunneled TPU costs ~1-2 ms; enough reps
+    # amortize it so the number reflects device time, not RPC latency.
+    reps = int(os.environ.get("X3_BENCH_REPS", "50"))
     # Decode's chunked kernel amortizes its fixed per-step cost over wide
     # batches — its sweet spot (F=2048) is wider than encode's (F=1024).
     dec_batch = int(os.environ.get("X3_BENCH_DECODE_BATCH", str(2 * batch_frames)))
