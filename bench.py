@@ -105,22 +105,24 @@ def main():
         pb = ((w[:, :, None] >> shifts[None, None, :]) & 0xFF).astype(jnp.uint8)
         return pb.reshape(w.shape[0], -1), o["nbytes"]  # nbytes kept for debugging
 
-    dev_payload, _ = make_payload(dec_frames_in, dec_nvalid)
+    dev_payload, dev_plens = make_payload(dec_frames_in, dec_nvalid)
     jax.block_until_ready(dev_payload)
     comp_mb = float(np.asarray(encode_frames(dev_frames, dev_nvalid, params)["nbytes"]).sum()) / 1e6
     dec_mb = dec_batch * spf * 2 / 1e6
     dec_sync = jax.jit(
-        lambda pb, n: (lambda de: jnp.sum(de[0].astype(jnp.int32)) + de[1].sum())(decode_frames(pb, n, params))
+        lambda pb, n, pl: (lambda de: jnp.sum(de[0].astype(jnp.int32)) + de[1].sum())(
+            decode_frames(pb, n, pl, params)
+        )
     )
-    dev_decode_mbs = dec_mb / timed(dec_sync, (dev_payload, dec_nvalid), reps)
+    dev_decode_mbs = dec_mb / timed(dec_sync, (dev_payload, dec_nvalid, dev_plens), reps)
 
     # --- decode correctness on the bench corpus (compared on device) ---
     @jax.jit
-    def check(pb, n, s):
-        de, err = decode_frames(pb, n, params)
+    def check(pb, n, pl, s):
+        de, err = decode_frames(pb, n, pl, params)
         return jnp.all(de == s) & ~err.any()
 
-    decode_exact = bool(check(dev_payload, dec_nvalid, dec_frames_in))
+    decode_exact = bool(check(dev_payload, dec_nvalid, dev_plens, dec_frames_in))
 
     # --- end-to-end jax encode (host framing + transfers + assembly) ---
     e2e_mb = wav.nbytes / 1e6

@@ -155,7 +155,7 @@ def test_differential_fuzz_jax_vs_oracle(rng):
             assert payload[i, : nbytes[i]].tobytes() == want, f"trial {trial} frame {i}"
             assert crcs[i] == want_crc
             pos += nv[i]
-        dec, err = decode_frames(payload, np.asarray(nv), tiny)
+        dec, err = decode_frames(payload, np.asarray(nv), nbytes, tiny)
         dec = np.asarray(dec)
         assert not np.asarray(err)[: (n + S - 1) // S].any()
         got = np.concatenate([dec[i, : nv[i]] for i in range(2) if nv[i]])

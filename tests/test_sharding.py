@@ -44,7 +44,7 @@ def test_sharded_roundtrip(rng):
     n = np.full(F, S, np.int32)
     enc = encode_frames_sharded(wavs, n, TINY, mesh)
     payload = np.ascontiguousarray(enc["payload_words"]).byteswap().view(np.uint8)
-    dec, err = decode_frames_sharded(payload, n, TINY, mesh)
+    dec, err = decode_frames_sharded(payload, n, np.asarray(enc["nbytes"]), TINY, mesh)
     assert not np.asarray(err).any()
     np.testing.assert_array_equal(np.asarray(dec), wavs)
 

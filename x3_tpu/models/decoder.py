@@ -54,7 +54,7 @@ def decode_frames_batch(payloads, n_samples, params: Parameters | None = None, c
         crc_ok = np.asarray(crc) == np.asarray(check_crcs, dtype=np.int64)
         crc_ok = crc_ok & ~oversized  # truncated lane CRCs are meaningless
     else:
-        out, err = decode_frames(buf, ns, params)
+        out, err = decode_frames(buf, ns, plens, params)
     out = np.asarray(out)
     err = np.where(oversized, ERR_OVERRUN, np.asarray(err))
     outs = [out[i, : ns[i]].copy() for i in range(f)]

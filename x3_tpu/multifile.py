@@ -118,14 +118,16 @@ def decode_streams(
             chunk = work[base : base + batch_frames]
             buf = np.zeros((batch_frames, W * 4), dtype=np.uint8)
             ns = np.zeros(batch_frames, dtype=np.int32)
+            plens = np.zeros(batch_frames, dtype=np.int32)
             for i, (ai, fi, payload, n) in enumerate(chunk):
                 arr = np.frombuffer(payload, dtype=np.uint8)
                 buf[i, : len(arr)] = arr
                 ns[i] = n
+                plens[i] = len(arr)
             if mesh is not None:
-                dec, err = decode_frames_sharded(buf, ns, params, mesh)
+                dec, err = decode_frames_sharded(buf, ns, plens, params, mesh)
             else:
-                dec, err = decode_frames(buf, ns, params)
+                dec, err = decode_frames(buf, ns, plens, params)
             dec = np.asarray(dec)
             err = np.asarray(err)
             if err[: len(chunk)].any():

@@ -134,23 +134,27 @@ def decode_frames_checked(payload: jax.Array, n_samples: jax.Array, payload_lens
     from .crc_jax import crc16_words_jax
 
     S, B, L, W = frame_geometry(params)
-    out, err, words = _decode_impl(payload, n_samples, params)
+    out, err, words = _decode_impl(payload, n_samples, payload_lens, params)
     crc = crc16_words_jax(words, payload_lens.astype(jnp.int32), W)
     return out, err, crc.astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def decode_frames(payload: jax.Array, n_samples: jax.Array, params: Parameters):
+@functools.partial(jax.jit, static_argnums=(3,))
+def decode_frames(payload: jax.Array, n_samples: jax.Array, payload_lens: jax.Array, params: Parameters):
     """Decode a batch of frame payloads.
 
     payload: uint8 [F, W*4] zero-padded payload bytes (W from frame_geometry)
     n_samples: int32 [F] — sample count per frame (0 = dummy lane)
+    payload_lens: int32 [F] — actual payload byte length per frame; unary
+        zero counts cap at the payload end exactly like the reference's
+        BitReader (bitreader.rs:129-139), which is observable on corrupt
+        streams whose last run reaches the end of the data.
     Returns (samples int16 [F, S], err int32 [F] — ERR_* codes, 0 = ok)."""
-    out, err, _ = _decode_impl(payload, n_samples, params)
+    out, err, _ = _decode_impl(payload, n_samples, payload_lens, params)
     return out, err
 
 
-def _decode_impl(payload: jax.Array, n_samples: jax.Array, params: Parameters):
+def _decode_impl(payload: jax.Array, n_samples: jax.Array, payload_lens: jax.Array, params: Parameters):
     S, B, L, W = frame_geometry(params)
     WIN = block_buffer_words(params)  # covers any block + start skew
     F = payload.shape[0]
@@ -163,6 +167,7 @@ def _decode_impl(payload: jax.Array, n_samples: jax.Array, params: Parameters):
     words = (by[:, :, 0] << 24) | (by[:, :, 1] << 16) | (by[:, :, 2] << 8) | by[:, :, 3]
 
     n = n_samples.astype(jnp.int32)
+    plen8 = payload_lens.astype(jnp.int32) * 8  # data end in bits (cap for unary runs)
     first = _wrap16(((words[:, 0] >> 16) & 0xFFFF).astype(jnp.int32))
 
     # Zero-pad so any clamped slice index stays in range; zeros decode as
@@ -225,13 +230,16 @@ def _decode_impl(payload: jax.Array, n_samples: jax.Array, params: Parameters):
             dec_nb_u = jnp.clip(dec_nb, 1, 31).astype(jnp.uint32)
             neg_thresh = 1 << jnp.clip(dec_nb - 1, 0, 30)
 
-            def decode_math(win32, last, oob, valid):
+            def decode_math(win32, last, oob, valid, cap):
                 """Branch-free decode of one sample from its 32-bit window.
                 Returns (new_sample, consumed_bits, oob flag).  Consumption
                 is clamped to 16 bits — no legal code is longer (Rice worst
                 case 15 zeros + stop; BFP/literal <= 16), and the clamp
-                bounds garbage lanes' window advance (they are flagged)."""
-                zeros = jax.lax.clz(win32).astype(jnp.int32)
+                bounds garbage lanes' window advance (they are flagged).
+                `cap` is the bits remaining to the payload end: unary zero
+                counts stop there like the reference's BitReader
+                (bitreader.rs:129-139)."""
+                zeros = jnp.minimum(jax.lax.clz(win32).astype(jnp.int32), jnp.maximum(cap, 0))
                 zc = jnp.clip(zeros, 0, 31).astype(jnp.uint32)
 
                 # Rice ftype 1: unary index + stop bit (decoder.rs:147-170)
@@ -256,6 +264,7 @@ def _decode_impl(payload: jax.Array, n_samples: jax.Array, params: Parameters):
                 return new, consume, oob
 
             oob = jnp.zeros_like(valid_block)
+            rel_end = plen8 - ((base_word + delta) << 5)  # data end in window bits
             if L <= 24:
                 # Small blocks (incl. the default 20): fully unrolled; each
                 # sample extracts its window independently — short
@@ -264,7 +273,7 @@ def _decode_impl(payload: jax.Array, n_samples: jax.Array, params: Parameters):
                 for k in range(L):
                     valid = valid_block & ((block_first + k) < n)
                     win32 = extract32(rel, kmax=(37 + 16 * k) >> 5)
-                    new, consume, oob = decode_math(win32, last, oob, valid)
+                    new, consume, oob = decode_math(win32, last, oob, valid, rel_end - rel)
                     rel = rel + jnp.where(valid, consume, 0)
                     last = jnp.where(valid, new, last)
                     outs.append(new)
@@ -283,7 +292,8 @@ def _decode_impl(payload: jax.Array, n_samples: jax.Array, params: Parameters):
                     valid = valid_block & ((block_first + k) < n)
                     ru = r.astype(jnp.uint32)
                     win32 = (w0 << ru) | ((w1 >> (31 - ru)) >> 1)
-                    new, consume, oob = decode_math(win32, last, oob, valid)
+                    cap = rel_end - ((widx << 5) + r)
+                    new, consume, oob = decode_math(win32, last, oob, valid, cap)
                     r = r + jnp.where(valid, consume, 0)
                     carry_w = r >= 32
                     r = r - jnp.where(carry_w, 32, 0)

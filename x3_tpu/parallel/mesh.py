@@ -52,22 +52,23 @@ def encode_frames_sharded(samples, n_valid, params: Parameters, mesh: Mesh):
     return fn(samples, n_valid)
 
 
-def decode_frames_sharded(payload, n_samples, params: Parameters, mesh: Mesh):
+def decode_frames_sharded(payload, n_samples, payload_lens, params: Parameters, mesh: Mesh):
     """Decode a [F, W*4] payload batch sharded across the mesh's frame axis."""
     from ..ops.decode_kernel import decode_frames
 
-    def local(p, n):
-        return decode_frames(p, n, params)
+    def local(p, n, pl):
+        return decode_frames(p, n, pl, params)
 
     fn = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(AXIS, None), P(AXIS)),
+        in_specs=(P(AXIS, None), P(AXIS), P(AXIS)),
         out_specs=(P(AXIS, None), P(AXIS)),
     )
     payload = jax.device_put(payload, NamedSharding(mesh, P(AXIS, None)))
     n_samples = jax.device_put(n_samples, NamedSharding(mesh, P(AXIS)))
-    return fn(payload, n_samples)
+    payload_lens = jax.device_put(payload_lens, NamedSharding(mesh, P(AXIS)))
+    return fn(payload, n_samples, payload_lens)
 
 
 def _words_to_bytes(words):
@@ -88,7 +89,7 @@ def roundtrip_step(params: Parameters, mesh: Mesh):
     def local(s, n):
         enc = encode_frames(s, n, params)
         payload_bytes = _words_to_bytes(enc["payload_words"])
-        dec, err = decode_frames(payload_bytes, n, params)
+        dec, err = decode_frames(payload_bytes, n, enc["nbytes"], params)
         import jax.numpy as jnp
 
         idx = jax.lax.broadcasted_iota(jnp.int32, dec.shape, 1)

@@ -61,7 +61,11 @@ def aot_compile(batch_frames: int, params=None, decode: bool = True):
     out = {"encode": enc}
     if decode:
         payload = np.zeros((batch_frames, W * 4), np.uint8)
-        dec = jax.jit(lambda p, n: decode_frames(p, n, params)).lower(payload, n_valid).compile()
+        dec = (
+            jax.jit(lambda p, n, pl: decode_frames(p, n, pl, params))
+            .lower(payload, n_valid, n_valid)
+            .compile()
+        )
         out["decode"] = dec
     logger.info("AOT-compiled pipelines for batch_frames=%d", batch_frames)
     return out
