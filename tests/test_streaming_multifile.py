@@ -130,6 +130,48 @@ def test_native_resync_skips_crc_failed_frame(tmp_path, rng):
     np.testing.assert_array_equal(got, np.concatenate([wav[:10_000], wav[20_000:]]))
 
 
+def test_multihost_worklist_sharding(tmp_path, rng):
+    """Multi-host input pipeline: two simulated hosts each convert their
+    strided worklist shard; the union covers every file and each archive is
+    byte-identical to the single-host output (the codec is collective-free,
+    so hosts never need to communicate)."""
+    from x3_tpu.parallel.multihost import shard_worklist
+    from x3_tpu.multifile import wav_to_x3a_batch as batch_enc
+
+    n_files = 5
+    wavs = [make_hydrophone(rng, int(rng.integers(500, 15_000))) for _ in range(n_files)]
+    wav_paths = [tmp_path / f"in{i}.wav" for i in range(n_files)]
+    for p, w in zip(wav_paths, wavs):
+        write_wav(p, w, 44100)
+
+    # Single-host reference conversion.
+    ref_paths = [tmp_path / f"ref{i}.x3a" for i in range(n_files)]
+    batch_enc(wav_paths, ref_paths, P, batch_frames=4)
+
+    # Two simulated hosts, each converting its shard.
+    shard_paths = [tmp_path / f"sh{i}.x3a" for i in range(n_files)]
+    for pi in range(2):
+        batch_enc(wav_paths, shard_paths, P, batch_frames=4, process_index=pi, process_count=2)
+    for i in range(n_files):
+        assert shard_paths[i].read_bytes() == ref_paths[i].read_bytes(), f"file {i}"
+
+    # The shards partition the worklist exactly.
+    s0 = shard_worklist(list(range(n_files)), 0, 2)
+    s1 = shard_worklist(list(range(n_files)), 1, 2)
+    assert sorted(s0 + s1) == list(range(n_files))
+    assert shard_worklist(list(range(n_files))) == list(range(n_files))  # 1-host identity
+
+    # Decode side sharding roundtrips too.
+    from x3_tpu.multifile import x3a_to_wav_batch as batch_dec
+
+    back_paths = [tmp_path / f"back{i}.wav" for i in range(n_files)]
+    for pi in range(2):
+        batch_dec(shard_paths, back_paths, batch_frames=4, process_index=pi, process_count=2)
+    for p, w in zip(back_paths, wavs):
+        got, _ = read_wav(p)
+        np.testing.assert_array_equal(got, w)
+
+
 def test_multifile_sharded(tmp_path, rng):
     from x3_tpu.parallel.mesh import make_mesh
 

@@ -150,9 +150,24 @@ def wav_to_x3a_batch(
     params: Parameters | None = None,
     batch_frames: int = DEFAULT_BATCH_FRAMES,
     mesh=None,
+    process_index: int | None = None,
+    process_count: int | None = None,
 ):
     """Batch-convert many WAV files to .x3a archives, frames from all files
-    sharing device batches.  Returns the list of EncodeResult."""
+    sharing device batches.  Returns the list of EncodeResult.
+
+    process_index/process_count: multi-host input sharding — this process
+    converts only its strided shard of the file list (see
+    parallel.multihost.shard_worklist); other entries are skipped.  The
+    codec is collective-free, so hosts never communicate."""
+    if process_count is not None or process_index is not None:
+        from .parallel.multihost import shard_worklist
+
+        pairs = shard_worklist(
+            list(zip(wav_filenames, x3a_filenames)), process_index, process_count
+        )
+        wav_filenames = [w for w, _ in pairs]
+        x3a_filenames = [x for _, x in pairs]
     params = params or Parameters()
     streams, rates = [], []
     for p in wav_filenames:
@@ -172,10 +187,23 @@ def x3a_to_wav_batch(
     wav_filenames,
     batch_frames: int = DEFAULT_BATCH_FRAMES,
     mesh=None,
+    process_index: int | None = None,
+    process_count: int | None = None,
 ):
-    """Batch-convert many .x3a archives back to WAV files."""
+    """Batch-convert many .x3a archives back to WAV files.
+
+    process_index/process_count: multi-host input sharding (strided) — this
+    process decodes only its shard of the archive list."""
     from pathlib import Path
 
+    if process_count is not None or process_index is not None:
+        from .parallel.multihost import shard_worklist
+
+        pairs = shard_worklist(
+            list(zip(x3a_filenames, wav_filenames)), process_index, process_count
+        )
+        x3a_filenames = [x for x, _ in pairs]
+        wav_filenames = [w for _, w in pairs]
     archives = [Path(p).read_bytes() for p in x3a_filenames]
     decoded = decode_streams(archives, batch_frames, mesh)
     for path, (samples, rate) in zip(wav_filenames, decoded):
