@@ -266,30 +266,62 @@ int64_t x3_encode_mt(const int16_t* samples, int64_t n, const X3Params* params,
 // Decoder (decoder.rs:36-235; bitreader.rs semantics)
 // ---------------------------------------------------------------------------
 
+// 64-bit MSB-first bit reservoir: the next unread bit is always bit 63 of
+// `cache`; bytes stream in on refill and reads past the data end return
+// zeros, with unary zero runs capped at the data end exactly like the
+// reference's BitReader tail handling (bitreader.rs:29-49, 129-139).
 struct BitReader {
     const uint8_t* data;
-    int64_t len;
-    int64_t pos;  // absolute bit position
+    int64_t len;      // bytes
+    int64_t pos;      // absolute bit position consumed so far
+    uint64_t cache;   // left-aligned reservoir (next bit = bit 63)
+    int32_t ncache;   // valid bits in cache
+    int64_t bytepos;  // next byte to load
 };
 
-static inline int32_t br_bit(BitReader* br, int64_t p) {
-    if (p >= br->len * 8) return 0;
-    return (br->data[p >> 3] >> (7 - (p & 7))) & 1;
+static inline void br_refill(BitReader* br) {
+    while (br->ncache <= 56) {
+        uint64_t b = (br->bytepos < br->len) ? br->data[br->bytepos] : 0;
+        br->bytepos++;
+        br->cache |= b << (56 - br->ncache);
+        br->ncache += 8;
+    }
 }
 
-static inline uint32_t br_nbits(BitReader* br, int32_t n) {
-    uint32_t r = 0;
-    for (int32_t i = 0; i < n; i++) r = (r << 1) | (uint32_t)br_bit(br, br->pos + i);
+static inline uint32_t br_nbits(BitReader* br, int32_t n) {  // 1 <= n <= 32
+    br_refill(br);
+    uint32_t r = (uint32_t)(br->cache >> (64 - n));
+    br->cache <<= n;
+    br->ncache -= n;
     br->pos += n;
     return r;
 }
 
+static inline void br_skip1(BitReader* br) {
+    br_refill(br);
+    br->cache <<= 1;
+    br->ncache -= 1;
+    br->pos += 1;
+}
+
 static inline int32_t br_zeros(BitReader* br) {
-    int64_t total = br->len * 8;
+    int64_t cap = br->len * 8 - br->pos;
+    if (cap <= 0) return 0;
     int32_t c = 0;
-    while (br->pos + c < total && br_bit(br, br->pos + c) == 0) c++;
-    br->pos += c;
-    return c;
+    br_refill(br);
+    while (br->cache == 0 && c < cap) {  // all-zero window: bulk-consume
+        int32_t take = 57 <= cap - c ? 57 : (int32_t)(cap - c);
+        br->ncache -= take;
+        br->pos += take;
+        c += take;
+        br_refill(br);
+    }
+    int32_t z = br->cache ? __builtin_clzll(br->cache) : 0;
+    if (c + z > cap) z = (int32_t)(cap - c);
+    br->cache <<= z;
+    br->ncache -= z;
+    br->pos += z;
+    return c + z;
 }
 
 // Decode one frame payload into wav.  Returns 0 on success, <0 error code.
@@ -299,7 +331,7 @@ int32_t x3_decode_frame(const uint8_t* payload, int64_t payload_len,
     if (payload_len < 2 || samples < 1) return -1;
     int16_t last = (int16_t)((payload[0] << 8) | payload[1]);
     wav[0] = last;
-    BitReader br{payload + 2, payload_len - 2, 0};
+    BitReader br{payload + 2, payload_len - 2, 0, 0, 0, 0};
     int32_t done = 1;
     while (done < samples) {
         int32_t len = (samples - done) < p->block_len ? (samples - done) : p->block_len;
@@ -333,7 +365,7 @@ int32_t x3_decode_frame(const uint8_t* payload, int64_t payload_len,
             if (ftype == 1) {
                 for (int32_t i = 0; i < len; i++) {
                     int32_t z = br_zeros(&br);
-                    br.pos += 1;  // stop bit
+                    br_skip1(&br);  // stop bit
                     if (z >= inv_len) return -3;  // OutOfBoundsInverse
                     int32_t inv = (z & 1) ? -((z + 1) >> 1) : (z >> 1);
                     last = (int16_t)(last + inv);
@@ -362,10 +394,13 @@ int32_t x3_decode_frame(const uint8_t* payload, int64_t payload_len,
 // running sum of preceding frame sample counts, so threads write disjoint
 // output ranges directly.  Returns 0, or the (negative) error code of the
 // first failing frame; err_frame (if non-null) receives its index.
-int32_t x3_decode_frames_mt(const uint8_t* data, const int64_t* payload_offsets,
-                            const int32_t* samples, const int32_t* payload_lens,
-                            int64_t n_frames, const X3Params* params,
-                            int16_t* wav_out, int64_t* err_frame, int32_t nthreads) {
+// expected_crcs (nullable): per-frame payload CRC16s verified in the same
+// threaded pass (decodefile.rs:93-103); a mismatch returns -4.
+int32_t x3_decode_frames_mt_crc(const uint8_t* data, const int64_t* payload_offsets,
+                                const int32_t* samples, const int32_t* payload_lens,
+                                const uint16_t* expected_crcs,
+                                int64_t n_frames, const X3Params* params,
+                                int16_t* wav_out, int64_t* err_frame, int32_t nthreads) {
     crc_init();
     std::vector<int64_t> out_pos((size_t)n_frames + 1, 0);
     for (int64_t i = 0; i < n_frames; i++) out_pos[(size_t)i + 1] = out_pos[(size_t)i] + samples[i];
@@ -380,6 +415,12 @@ int32_t x3_decode_frames_mt(const uint8_t* data, const int64_t* payload_offsets,
         int64_t f0 = (int64_t)t * frames_per;
         int64_t f1 = f0 + frames_per < n_frames ? f0 + frames_per : n_frames;
         for (int64_t f = f0; f < f1; f++) {
+            if (expected_crcs &&
+                x3_crc16(data + payload_offsets[f], payload_lens[f]) != expected_crcs[f]) {
+                rcs[t] = -4;  // FrameHeaderInvalidPayloadCRC
+                bad[t] = f;
+                return;
+            }
             int32_t rc = x3_decode_frame(data + payload_offsets[f], payload_lens[f],
                                          params, samples[f], wav_out + out_pos[(size_t)f]);
             if (rc != 0) { rcs[t] = rc; bad[t] = f; return; }
@@ -395,6 +436,14 @@ int32_t x3_decode_frames_mt(const uint8_t* data, const int64_t* payload_offsets,
         }
     }
     return 0;
+}
+
+int32_t x3_decode_frames_mt(const uint8_t* data, const int64_t* payload_offsets,
+                            const int32_t* samples, const int32_t* payload_lens,
+                            int64_t n_frames, const X3Params* params,
+                            int16_t* wav_out, int64_t* err_frame, int32_t nthreads) {
+    return x3_decode_frames_mt_crc(data, payload_offsets, samples, payload_lens, nullptr,
+                                   n_frames, params, wav_out, err_frame, nthreads);
 }
 
 // Walk a frame stream: validate header CRCs and return frame boundaries.

@@ -93,6 +93,31 @@ def _decode_payload_batch(payloads, headers, params: Parameters, engine: str, re
             errs = np.where(~crc_ok, 4, errs)  # 4 = payload CRC
         return outs, errs
 
+    def _native_fused(expected_crcs):
+        from . import native as native_mod
+
+        blob = b"".join(payloads)
+        idx, pos = [], 0
+        for p, h in zip(payloads, headers):
+            idx.append((pos, h.samples, len(p)))
+            pos += len(p)
+        flat = native_mod.decode_frames_mt(blob, idx, params, expected_crcs=expected_crcs)
+        outs, pos = [], 0
+        for h in headers:
+            outs.append(flat[pos : pos + h.samples])
+            pos += h.samples
+        return outs, np.zeros(len(payloads), bool)
+
+    if engine == "native" and not resync:
+        # Fast path: one threaded native pass fuses the payload CRC check
+        # (raises on mismatch, decodefile.rs:93-103) with the decode.
+        try:
+            return _native_fused(want_crcs)
+        except FrameHeaderInvalidPayloadCRC:
+            raise
+        except X3Error:
+            pass  # decode error: fall through for per-frame accounting
+
     crc_ok = archive.verify_payload_crcs_parts(payloads, want_crcs)
     if not resync and not crc_ok.all():
         bad = int(np.nonzero(~crc_ok)[0][0])
@@ -101,22 +126,11 @@ def _decode_payload_batch(payloads, headers, params: Parameters, engine: str, re
     if engine == "native":
         from . import native as native_mod
 
-        # Fast path: frame-parallel native decode of the whole batch — only
-        # when every payload CRC checked out, so CRC-failed frames are never
-        # silently included.
-        if crc_ok.all():
+        # Resync fast path — only when every payload CRC checked out, so
+        # CRC-failed frames are never silently included.
+        if resync and crc_ok.all():
             try:
-                blob = b"".join(payloads)
-                idx, pos = [], 0
-                for p, h in zip(payloads, headers):
-                    idx.append((pos, h.samples, len(p)))
-                    pos += len(p)
-                flat = native_mod.decode_frames_mt(blob, idx, params)
-                outs, pos = [], 0
-                for h in headers:
-                    outs.append(flat[pos : pos + h.samples])
-                    pos += h.samples
-                return outs, np.zeros(len(payloads), bool)
+                return _native_fused(None)
             except X3Error:
                 pass  # fall through to per-frame decode for error accounting
         dec = lambda p, n: native_mod.decode_frame(p, params, n)

@@ -13,7 +13,12 @@ from pathlib import Path
 
 import numpy as np
 
-from .errors import FrameDecodeInvalidBPF, OutOfBoundsInverse, X3Error
+from .errors import (
+    FrameDecodeInvalidBPF,
+    FrameHeaderInvalidPayloadCRC,
+    OutOfBoundsInverse,
+    X3Error,
+)
 from .params import Parameters
 
 _NATIVE_DIR = Path(__file__).resolve().parent.parent / "native"
@@ -89,6 +94,12 @@ def load():
         ctypes.c_int64, ctypes.POINTER(_CParams), ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_int32,
     ]
+    lib.x3_decode_frames_mt_crc.restype = ctypes.c_int32
+    lib.x3_decode_frames_mt_crc.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.POINTER(_CParams),
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
+    ]
     lib.x3_index_frames.restype = ctypes.c_int64
     lib.x3_index_frames.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
@@ -149,11 +160,17 @@ def encode(samples, params: Parameters | None = None, stats=None, nthreads: int 
     return out[:wrote].tobytes()
 
 
-def decode_frames_mt(data: bytes, index, params: Parameters, nthreads: int = 0) -> np.ndarray:
+def decode_frames_mt(
+    data: bytes, index, params: Parameters, nthreads: int = 0, expected_crcs=None
+) -> np.ndarray:
     """Frame-parallel native decode of an indexed frame stream.
 
     index: list of (payload_offset, samples, payload_len) as returned by
-    index_frames.  Returns the concatenated int16 samples."""
+    index_frames.  Returns the concatenated int16 samples.
+
+    expected_crcs: optional per-frame payload CRC16s, verified in the same
+    threaded pass (decodefile.rs:93-103); a mismatch raises
+    FrameHeaderInvalidPayloadCRC."""
     lib = load()
     if lib is None:
         raise X3Error("native library unavailable")
@@ -164,16 +181,26 @@ def decode_frames_mt(data: bytes, index, params: Parameters, nthreads: int = 0) 
     total = int(samp.sum())
     wav = np.zeros(total, dtype=np.int16)
     err_frame = np.zeros(1, dtype=np.int64)
-    rc = lib.x3_decode_frames_mt(
+    if expected_crcs is None:
+        crc_ptr = None
+    else:
+        crcs = np.ascontiguousarray(expected_crcs, dtype=np.uint16)
+        crc_ptr = crcs.ctypes.data_as(ctypes.c_void_p)
+    rc = lib.x3_decode_frames_mt_crc(
         buf.ctypes.data_as(ctypes.c_void_p), offs.ctypes.data_as(ctypes.c_void_p),
         samp.ctypes.data_as(ctypes.c_void_p), plens.ctypes.data_as(ctypes.c_void_p),
-        len(index), ctypes.byref(_cparams(params)), wav.ctypes.data_as(ctypes.c_void_p),
+        crc_ptr, len(index), ctypes.byref(_cparams(params)),
+        wav.ctypes.data_as(ctypes.c_void_p),
         err_frame.ctypes.data_as(ctypes.c_void_p), nthreads,
     )
     if rc == -2:
         raise FrameDecodeInvalidBPF(f"native decode: invalid BFP (frame {int(err_frame[0])})")
     if rc == -3:
         raise OutOfBoundsInverse(f"native decode: inverse OOB (frame {int(err_frame[0])})")
+    if rc == -4:
+        raise FrameHeaderInvalidPayloadCRC(
+            f"native decode: payload CRC mismatch (frame {int(err_frame[0])})"
+        )
     if rc != 0:
         raise X3Error(f"native decode failed ({rc})")
     return wav
