@@ -26,6 +26,9 @@ extern "C" {
 // ---------------------------------------------------------------------------
 
 static uint16_t CRC_TABLE[256];
+// Slice-by-8 tables: CRC_SLICE[k][x] is table T[x] advanced by k zero bytes
+// (CRC tables are GF(2)-linear, so 8 bytes fold with 8 independent lookups).
+static uint16_t CRC_SLICE[8][256];
 static bool crc_init_done = false;
 
 static void crc_init() {
@@ -36,13 +39,28 @@ static void crc_init() {
             crc = (crc & 0x8000) ? (uint16_t)((crc << 1) ^ 0x1021) : (uint16_t)(crc << 1);
         CRC_TABLE[i] = crc;
     }
+    for (int i = 0; i < 256; i++) CRC_SLICE[0][i] = CRC_TABLE[i];
+    for (int k = 1; k < 8; k++)
+        for (int i = 0; i < 256; i++) {
+            uint16_t c = CRC_SLICE[k - 1][i];
+            CRC_SLICE[k][i] = (uint16_t)((c << 8) ^ CRC_TABLE[c >> 8]);
+        }
     crc_init_done = true;
 }
 
 uint16_t x3_crc16(const uint8_t* data, int64_t len) {
     crc_init();
     uint16_t crc = 0xffff;
-    for (int64_t i = 0; i < len; i++)
+    int64_t i = 0;
+    // Slice-by-8 main loop: the state only folds into the first two bytes.
+    for (; i + 8 <= len; i += 8) {
+        crc = (uint16_t)(CRC_SLICE[7][(uint8_t)(data[i] ^ (crc >> 8))] ^
+                         CRC_SLICE[6][(uint8_t)(data[i + 1] ^ crc)] ^
+                         CRC_SLICE[5][data[i + 2]] ^ CRC_SLICE[4][data[i + 3]] ^
+                         CRC_SLICE[3][data[i + 4]] ^ CRC_SLICE[2][data[i + 5]] ^
+                         CRC_SLICE[1][data[i + 6]] ^ CRC_SLICE[0][data[i + 7]]);
+    }
+    for (; i < len; i++)
         crc = (uint16_t)((crc << 8) ^ CRC_TABLE[(uint8_t)(data[i] ^ (crc >> 8))]);
     return crc;
 }
@@ -82,21 +100,22 @@ struct BitWriter {
     int64_t len;     // flushed bytes
     uint64_t acc;    // bit accumulator, MSB-aligned within acc_bits
     int32_t acc_bits;
-    uint16_t crc;
     bool overflow;
 };
 
 static inline void bw_init(BitWriter* bw, uint8_t* out, int64_t cap) {
     bw->out = out; bw->cap = cap; bw->len = 0; bw->acc = 0; bw->acc_bits = 0;
-    bw->crc = 0xffff; bw->overflow = false;
+    bw->overflow = false;
 }
 
+// The payload CRC is computed once over the finished bytes with the
+// slice-by-8 x3_crc16 instead of per flushed byte — same result
+// (bitpacker.rs's running CRC equals CRC of the flushed stream).
 static inline void bw_flush_bytes(BitWriter* bw) {
     while (bw->acc_bits >= 8) {
         uint8_t byte = (uint8_t)(bw->acc >> (bw->acc_bits - 8));
         if (bw->len >= bw->cap) { bw->overflow = true; return; }
         bw->out[bw->len++] = byte;
-        bw->crc = (uint16_t)((bw->crc << 8) ^ CRC_TABLE[(uint8_t)(byte ^ (bw->crc >> 8))]);
         bw->acc_bits -= 8;
         bw->acc &= (bw->acc_bits ? ((1ULL << bw->acc_bits) - 1) : 0);
     }
@@ -181,7 +200,7 @@ static int64_t encode_frame(const int16_t* wav, int32_t n, const X3Params* p,
     }
     bw_word_align(&bw, 0);
     if (bw.overflow) return -1;
-    write_frame_header(out, n, 1, (int32_t)bw.len, bw.crc);
+    write_frame_header(out, n, 1, (int32_t)bw.len, x3_crc16(out + 20, bw.len));
     return 20 + bw.len;
 }
 
