@@ -465,6 +465,25 @@ int32_t x3_decode_frames_mt(const uint8_t* data, const int64_t* payload_offsets,
                                    n_frames, params, wav_out, err_frame, nthreads);
 }
 
+// Assemble a frame stream from batched device outputs: out = concat over
+// frames of (20-byte header || payload[:nbytes]).  Replaces the per-frame
+// Python assembly loop in the TPU pipeline's host epilogue.  Returns bytes
+// written, or -1 if cap is too small.
+int64_t x3_assemble_frames(const uint8_t* headers, const uint8_t* payloads,
+                           const int32_t* nbytes, int64_t n_frames,
+                           int64_t payload_stride, uint8_t* out, int64_t cap) {
+    int64_t pos = 0;
+    for (int64_t f = 0; f < n_frames; f++) {
+        int64_t nb = nbytes[f];
+        if (pos + 20 + nb > cap) return -1;
+        memcpy(out + pos, headers + f * 20, 20);
+        pos += 20;
+        memcpy(out + pos, payloads + f * payload_stride, (size_t)nb);
+        pos += nb;
+    }
+    return pos;
+}
+
 // Walk a frame stream: validate header CRCs and return frame boundaries.
 // offsets/samples/payload_lens must have capacity max_frames.
 // Returns the number of frames indexed.

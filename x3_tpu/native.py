@@ -100,6 +100,11 @@ def load():
         ctypes.c_void_p, ctypes.c_int64, ctypes.POINTER(_CParams),
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
     ]
+    lib.x3_assemble_frames.restype = ctypes.c_int64
+    lib.x3_assemble_frames.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+    ]
     lib.x3_index_frames.restype = ctypes.c_int64
     lib.x3_index_frames.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
@@ -223,6 +228,27 @@ def decode_frame(payload: bytes, params: Parameters, samples: int) -> np.ndarray
     if rc != 0:
         raise X3Error(f"native decode failed ({rc})")
     return wav
+
+
+def assemble_frames(headers: np.ndarray, payloads: np.ndarray, nbytes: np.ndarray) -> bytes:
+    """Concatenate (header || payload[:nbytes]) over frames in C
+    (the TPU pipeline's host-epilogue assembly; one memcpy pass)."""
+    lib = load()
+    if lib is None:
+        raise X3Error("native library unavailable")
+    headers = np.ascontiguousarray(headers, dtype=np.uint8)
+    payloads = np.ascontiguousarray(payloads).view(np.uint8).reshape(len(headers), -1)
+    nbytes = np.ascontiguousarray(nbytes, dtype=np.int32)
+    total = int(nbytes.sum()) + 20 * len(headers)
+    out = np.empty(total, dtype=np.uint8)
+    wrote = lib.x3_assemble_frames(
+        headers.ctypes.data_as(ctypes.c_void_p), payloads.ctypes.data_as(ctypes.c_void_p),
+        nbytes.ctypes.data_as(ctypes.c_void_p), len(headers), payloads.shape[1],
+        out.ctypes.data_as(ctypes.c_void_p), total,
+    )
+    if wrote != total:
+        raise X3Error(f"native assemble failed ({wrote} != {total})")
+    return out.tobytes()
 
 
 def index_frames(data: bytes, start: int, max_frames: int | None = None):
