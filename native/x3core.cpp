@@ -112,13 +112,18 @@ static inline void bw_init(BitWriter* bw, uint8_t* out, int64_t cap) {
 // slice-by-8 x3_crc16 instead of per flushed byte — same result
 // (bitpacker.rs's running CRC equals CRC of the flushed stream).
 static inline void bw_flush_bytes(BitWriter* bw) {
-    while (bw->acc_bits >= 8) {
-        uint8_t byte = (uint8_t)(bw->acc >> (bw->acc_bits - 8));
-        if (bw->len >= bw->cap) { bw->overflow = true; return; }
-        bw->out[bw->len++] = byte;
-        bw->acc_bits -= 8;
-        bw->acc &= (bw->acc_bits ? ((1ULL << bw->acc_bits) - 1) : 0);
+    while (bw->acc_bits >= 32 && bw->len + 4 <= bw->cap) {  // word-at-a-time
+        uint32_t w = __builtin_bswap32((uint32_t)(bw->acc >> (bw->acc_bits - 32)));
+        memcpy(bw->out + bw->len, &w, 4);
+        bw->len += 4;
+        bw->acc_bits -= 32;
     }
+    while (bw->acc_bits >= 8) {  // near-cap / tail path
+        if (bw->len >= bw->cap) { bw->overflow = true; return; }
+        bw->out[bw->len++] = (uint8_t)(bw->acc >> (bw->acc_bits - 8));
+        bw->acc_bits -= 8;
+    }
+    bw->acc &= (bw->acc_bits ? ((1ULL << bw->acc_bits) - 1) : 0);
 }
 
 static inline void bw_bits(BitWriter* bw, uint32_t value, int32_t n) {

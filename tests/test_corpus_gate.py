@@ -125,6 +125,75 @@ def _zero_run(rng, b: bytes):
     return bytes(arr)
 
 
+def test_header_field_mutation_fuzz(tmp_path):
+    """Frame-HEADER field mutation (samples / payload_len claims, restamped
+    header CRC so only the claim is wrong): the archive walk and decode must
+    fail cleanly with the right error class — never crash or emit silently
+    wrong output."""
+    from x3_tpu import archive
+    from x3_tpu.errors import (
+        FrameHeaderInvalidPayloadLen,
+        FrameDecodeUnexpectedEnd,
+        X3Error,
+    )
+    from x3_tpu.files import wav_to_x3a, x3a_to_wav
+    from x3_tpu.utils.wav import write_wav
+
+    seed = 0xBEEF
+    rng = np.random.default_rng(seed)
+    wav = np.clip(np.cumsum(rng.integers(-5, 6, 25_000)), -30000, 30000).astype(np.int16)
+    wav_path, x3a_path = tmp_path / "h.wav", tmp_path / "h.x3a"
+    write_wav(wav_path, wav, 44100)
+    wav_to_x3a(wav_path, x3a_path)
+    clean = x3a_path.read_bytes()
+    hdr_size = archive.parse_archive_header(clean)[1]
+    index = list(archive.walk_frames(clean, hdr_size))
+
+    def restamp(data, frame_idx, samples=None, payload_len=None):
+        """Rewrite a header field and fix the header CRC (CRC-valid lie)."""
+        from x3_tpu.ops.crc import crc16
+
+        arr = bytearray(data)
+        off, h = index[frame_idx]
+        hoff = off - 20
+        if samples is not None:
+            arr[hoff + 4 : hoff + 6] = int(samples).to_bytes(2, "big")
+        if payload_len is not None:
+            arr[hoff + 6 : hoff + 8] = int(payload_len).to_bytes(2, "big")
+        hc = crc16(bytes(arr[hoff : hoff + 16]))
+        arr[hoff + 16 : hoff + 18] = hc.to_bytes(2, "big")
+        return bytes(arr)
+
+    # payload_len overrunning EOF -> FrameHeaderInvalidPayloadLen on walk.
+    bad = restamp(clean, len(index) - 1, payload_len=0x7fd0)
+    (tmp_path / "over.x3a").write_bytes(bad)
+    with pytest.raises(FrameHeaderInvalidPayloadLen):
+        x3a_to_wav(tmp_path / "over.x3a", tmp_path / "o.wav")
+
+    # samples claim exceeding the frame geometry -> clean typed failure.
+    bad = restamp(clean, 0, samples=0xFFFF)
+    (tmp_path / "ns.x3a").write_bytes(bad)
+    with pytest.raises((FrameDecodeUnexpectedEnd, X3Error)):
+        # walk succeeds (payload length intact); decode must flag, and the
+        # payload CRC no longer matching the altered header is also a valid
+        # clean failure for engines that check CRC against the header copy.
+        errs = x3a_to_wav(tmp_path / "ns.x3a", tmp_path / "n.wav")
+        if errs == 0:
+            raise AssertionError("oversized sample claim silently accepted")
+        raise X3Error("counted")  # counted+stopped is also clean behavior
+
+    # random header-byte corruption (CRC not restamped) -> header CRC raise
+    # without resync; with resync the remaining frames are recovered.
+    arr = bytearray(clean)
+    off0, _ = index[1]
+    arr[off0 - 20 + 9] ^= 0xFF  # timestamp field -> CRC mismatch
+    (tmp_path / "hc.x3a").write_bytes(bytes(arr))
+    with pytest.raises(X3Error):
+        x3a_to_wav(tmp_path / "hc.x3a", tmp_path / "x.wav")
+    errs = x3a_to_wav(tmp_path / "hc.x3a", tmp_path / "r.wav", resync=True)
+    assert errs == 0  # frame 1's header is bad but sync-scan recovers frames
+
+
 @pytest.mark.parametrize("kind", ["rice1", "rice2", "rice3", "bfp", "literal"])
 def test_structured_mutation_fuzz(kind):
     """Per-block-type structured mutation: engines agree on accept/reject
