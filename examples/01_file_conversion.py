@@ -1,6 +1,9 @@
 """Convert a WAV to .x3a and back, checking the roundtrip is bit-exact."""
 
 import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np
 

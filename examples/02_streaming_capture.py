@@ -1,5 +1,10 @@
 """Bounded-memory streaming encode of a (simulated) live capture."""
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import numpy as np
 
 from x3_tpu import StreamEncoder

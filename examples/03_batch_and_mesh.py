@@ -1,5 +1,10 @@
 """Batch-convert many files, optionally sharded across every TPU chip."""
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import numpy as np
 
 from x3_tpu.multifile import wav_to_x3a_batch, x3a_to_wav_batch

@@ -206,8 +206,10 @@ def find_sync(data: bytes, start: int) -> int:
     cand = cand[cand + constants.FRAME_HEADER_LENGTH <= n]
     if len(cand) == 0:
         return -1
-    # Validate header CRCs of all candidates at once.
-    rows = np.stack([arr[c : c + 16] for c in cand])
+    # Validate header CRCs of all candidates at once (sliding windows are a
+    # strided view — no python loop even on adversarial candidate counts).
+    windows = np.lib.stride_tricks.sliding_window_view(arr, 16)
+    rows = windows[cand]
     crcs = crc16_many(rows, np.full(len(cand), 16))
     stored = (arr[cand + 16].astype(np.uint16) << 8) | arr[cand + 17]
     ok = np.nonzero(crcs == stored)[0]

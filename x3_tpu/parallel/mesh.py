@@ -38,6 +38,7 @@ def encode_frames_sharded(samples, n_valid, params: Parameters, mesh: Mesh):
     fn = jax.shard_map(
         local,
         mesh=mesh,
+        check_vma=False,  # pallas_call out_shapes carry no vma info
         in_specs=(P(AXIS, None), P(AXIS)),
         out_specs={
             "payload_words": P(AXIS, None),
@@ -62,6 +63,7 @@ def decode_frames_sharded(payload, n_samples, payload_lens, params: Parameters, 
     fn = jax.shard_map(
         local,
         mesh=mesh,
+        check_vma=False,  # pallas_call out_shapes carry no vma info
         in_specs=(P(AXIS, None), P(AXIS), P(AXIS)),
         out_specs=(P(AXIS, None), P(AXIS)),
     )
@@ -103,6 +105,7 @@ def roundtrip_step(params: Parameters, mesh: Mesh):
         jax.shard_map(
             local,
             mesh=mesh,
+            check_vma=False,  # pallas_call out_shapes carry no vma info
             in_specs=(P(AXIS, None), P(AXIS)),
             out_specs=(P(AXIS), P()),
         )
