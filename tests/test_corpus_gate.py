@@ -14,7 +14,6 @@ from tests.conftest import REPO_ROOT
 from x3_tpu.errors import X3Error
 from x3_tpu.models import oracle
 from x3_tpu.models.decoder import decode_frames_batch
-from x3_tpu.ops.bitio import BitWriter
 from x3_tpu.params import Parameters
 
 P = Parameters()

@@ -2,7 +2,6 @@
 exception type across all three engines (reference: error.rs:27-62,
 decoder.rs:141-235)."""
 
-import numpy as np
 import pytest
 
 from tests.conftest import make_hydrophone

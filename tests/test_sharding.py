@@ -2,7 +2,6 @@
 
 import jax
 import numpy as np
-import pytest
 
 from tests.conftest import make_mixed
 from x3_tpu.models import oracle

@@ -27,7 +27,7 @@ import wave
 
 import numpy as np
 
-from . import archive, constants
+from . import archive
 from .engine import resolve_engine
 from .errors import FrameHeaderInvalidPayloadCRC, MoreThanOneChannel, X3Error
 from .models.decoder import decode_frames_batch

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from . import archive, constants
+from . import archive
 from .errors import FrameHeaderInvalidPayloadCRC
 from .models.encoder import EncodeResult, build_frame_headers
 from .params import Parameters

@@ -36,7 +36,6 @@ def pack_blocks_pallas(item_val, item_len, r2, nb4: int, interpret: bool = False
     Returns uint32 [nb4, N].
     """
     from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
     I, N = item_val.shape
     assert N % LANE_TILE == 0, N
