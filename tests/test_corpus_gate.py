@@ -124,6 +124,16 @@ def _zero_run(rng, b: bytes):
     return bytes(arr)
 
 
+@pytest.mark.slow
+def test_differential_fuzz_campaign():
+    """Cross-engine differential fuzz across parameter geometries, signal
+    classes, edge lengths, and random corruption (tools/fuzz_differential)."""
+    sys.path.insert(0, str(REPO_ROOT / "tools"))
+    from fuzz_differential import run_campaign
+
+    assert run_campaign(trials=21, seed=0xD1FF) == 0
+
+
 def test_header_field_mutation_fuzz(tmp_path):
     """Frame-HEADER field mutation (samples / payload_len claims, restamped
     header CRC so only the claim is wrong): the archive walk and decode must

@@ -66,6 +66,14 @@ def decode_frame(payload: bytes, params: Parameters, samples: int, engine: str =
 
     Decode failures raise the matching reference error class
     (error.rs:27-62) via the kernel's per-frame error code."""
+    if engine == "auto":
+        from ..engine import resolve_engine
+
+        engine = resolve_engine(engine)
+    if engine == "native":
+        from .. import native
+
+        return native.decode_frame(payload, params, samples)
     if engine == "numpy":
         return oracle.decode_frame(payload, params, samples)
     outs, err = decode_frames_batch([payload], [samples], params)

@@ -82,8 +82,12 @@ def encode(
 ) -> EncodeResult:
     """Encode a mono int16 stream into a frame stream (no archive header).
 
-    engine: "jax" (batched TPU pipeline), "native" (C++ host core), or
-    "numpy" (oracle)."""
+    engine: "jax" (batched TPU pipeline), "native" (C++ host core),
+    "numpy" (oracle), or "auto" (routed by workload shape — engine.py)."""
+    if engine == "auto":
+        from ..engine import resolve_engine
+
+        engine = resolve_engine(engine)
     params = params or Parameters()
     samples = np.ascontiguousarray(samples, dtype=np.int16)
     if samples.ndim != 1:
