@@ -349,13 +349,20 @@ def encode_frames(samples: jax.Array, n_valid: jax.Array, params: Parameters, pa
     hdr_val = jnp.where(present, hdr_val, 0)
 
     # ---- per-sample (value, nbits): closed-form rice codes, no gathers ----
+    # One tensor-order evaluation (the per-block order k broadcast over the
+    # block) instead of evaluating all three tables and selecting — the
+    # closed form of rice_code_closed_form with k as data.
     rsel = jnp.clip(ftype_r, 0, 2)[:, :, None]  # selected rice table when is_rice
-    rice_val = jnp.zeros_like(db)
-    rice_bits = jnp.zeros_like(db)
-    for slot, order in enumerate(params.codes):
-        c, bts = rice_code_closed_form(db, order)
-        rice_val = jnp.where(rsel == slot, c, rice_val)
-        rice_bits = jnp.where(rsel == slot, bts, rice_bits)
+    c0, c1, c2 = params.codes
+    k = jnp.where(rsel == 0, c0, jnp.where(rsel == 1, c1, c2))  # [F, B, 1]
+    kk = jnp.maximum(k, 1)
+    e = jnp.where(db >= 0, db, -db - 1)
+    bits_k = (k + 1) + (e >> (kk - 1))
+    low = (db & ((1 << (kk - 1)) - 1)) << 1
+    code_k = jnp.where(db >= 0, (1 << kk) | low, ((1 << (kk + 1)) - 1) - low)
+    bits0 = 2 * jnp.abs(db) + jnp.where(db >= 0, 1, 0)
+    rice_val = jnp.where(k == 0, 1, code_k)
+    rice_bits = jnp.where(k == 0, bits0, bits_k)
     bfp_bits = (nb + 1)[:, :, None]
     bfp_val = db & ((1 << jnp.minimum(bfp_bits, 31)) - 1)
     lit_val = sb & 0xFFFF
