@@ -33,6 +33,7 @@ __all__ = [
     "StreamEncoder",
     "wav_to_x3a_batch",
     "x3a_to_wav_batch",
+    "resolve_engine",
 ]
 
 
@@ -62,4 +63,8 @@ def __getattr__(name):
         from . import multifile
 
         return getattr(multifile, name)
+    if name == "resolve_engine":
+        from .engine import resolve_engine
+
+        return resolve_engine
     raise AttributeError(name)
