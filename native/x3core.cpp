@@ -388,8 +388,19 @@ int32_t x3_decode_frame(const uint8_t* payload, int64_t payload_len,
             }
             if (ftype == 1) {
                 for (int32_t i = 0; i < len; i++) {
-                    int32_t z = br_zeros(&br);
-                    br_skip1(&br);  // stop bit
+                    // Fast path: one refill serves zeros + stop bit (legit
+                    // codes are <= 16 bits and the reservoir holds >= 57).
+                    br_refill(&br);
+                    int32_t z;
+                    if (br.cache != 0 &&
+                        (z = __builtin_clzll(br.cache)) + 1 <= (int32_t)(br.len * 8 - br.pos)) {
+                        br.cache <<= z + 1;
+                        br.ncache -= z + 1;
+                        br.pos += z + 1;
+                    } else {  // all-zero window / payload tail: exact slow path
+                        z = br_zeros(&br);
+                        br_skip1(&br);
+                    }
                     if (z >= inv_len) return -3;  // OutOfBoundsInverse
                     int32_t inv = (z & 1) ? -((z + 1) >> 1) : (z >> 1);
                     last = (int16_t)(last + inv);
@@ -399,8 +410,27 @@ int32_t x3_decode_frame(const uint8_t* payload, int64_t payload_len,
                 int32_t nbsuf = (ftype == 2) ? 2 : 4;  // decoder.rs:180 quirk
                 int32_t level = 1 << order;            // 1 << nsubs
                 for (int32_t i = 0; i < len; i++) {
-                    int32_t z = br_zeros(&br);
-                    int32_t r = (int32_t)br_nbits(&br, nbsuf);
+                    // One refill serves the unary run + suffix when the
+                    // whole code is in the reservoir (the common case).
+                    br_refill(&br);
+                    int32_t z, r;
+                    if (br.cache != 0) {
+                        z = __builtin_clzll(br.cache);
+                        int64_t remaining = br.len * 8 - br.pos;
+                        if (z <= remaining && z + nbsuf <= br.ncache) {
+                            uint64_t c = br.cache << z;
+                            r = (int32_t)(c >> (64 - nbsuf));
+                            br.cache = c << nbsuf;
+                            br.ncache -= z + nbsuf;
+                            br.pos += z + nbsuf;
+                        } else {
+                            z = br_zeros(&br);
+                            r = (int32_t)br_nbits(&br, nbsuf);
+                        }
+                    } else {
+                        z = br_zeros(&br);
+                        r = (int32_t)br_nbits(&br, nbsuf);
+                    }
                     int32_t idx = r + level * (z - 1);
                     if (idx < 0 || idx >= inv_len) return -3;
                     int32_t inv = (idx & 1) ? -((idx + 1) >> 1) : (idx >> 1);
