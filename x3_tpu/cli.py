@@ -17,9 +17,13 @@ from .params import Parameters
 def get_filetype(filename: str) -> str:
     if filename.endswith(".x3a"):
         return "x3a"
+    if filename.endswith(".x3m"):  # multi-channel manifest (our extension)
+        return "x3m"
     if filename.endswith(".wav"):
         return "wav"
-    raise SystemExit(f"Invalid audio file, expecting a '.wav' or '.x3a' file: {filename}")
+    raise SystemExit(
+        f"Invalid audio file, expecting a '.wav', '.x3a' or '.x3m' file: {filename}"
+    )
 
 
 def main(argv=None) -> int:
@@ -46,11 +50,21 @@ def main(argv=None) -> int:
     if in_type == out_type:
         raise SystemExit("Input must be different file type than output.")
 
-    if in_type == "wav":
-        params = Parameters(block_len=args.block_len) if args.block_len else Parameters()
+    params = Parameters(block_len=args.block_len) if args.block_len else Parameters()
+    if in_type == "wav" and out_type == "x3a":
         wav_to_x3a(args.input, args.output, params=params, engine=args.engine, verbose=not args.quiet)
-    else:
+    elif in_type == "x3a" and out_type == "wav":
         x3a_to_wav(args.input, args.output, engine=args.engine, verbose=not args.quiet, resync=args.resync)
+    elif in_type == "wav" and out_type == "x3m":
+        from .multichannel import wav_to_x3m
+
+        wav_to_x3m(args.input, args.output, params=params)
+    elif in_type == "x3m" and out_type == "wav":
+        from .multichannel import x3m_to_wav
+
+        x3m_to_wav(args.input, args.output, engine=args.engine)
+    else:
+        raise SystemExit(f"Unsupported conversion {in_type} -> {out_type}.")
     return 0
 
 
