@@ -83,6 +83,12 @@ def _decode_payload_batch(payloads, headers, params: Parameters, engine: str, re
     ns = [h.samples for h in headers]
     want_crcs = [h.payload_crc for h in headers]
 
+    if engine == "native":
+        from . import native as native_mod
+
+        if not native_mod.available():
+            raise X3Error("native engine requested but the toolchain is unavailable")
+
     if engine == "jax":
         # CRC verified on device, fused into the decode batch.
         outs, errs, crc_ok = decode_frames_batch(payloads, ns, params, check_crcs=want_crcs)

@@ -298,7 +298,10 @@ def _decode_impl(payload: jax.Array, n_samples: jax.Array, payload_lens: jax.Arr
                     carry_w = r >= 32
                     r = r - jnp.where(carry_w, 32, 0)
                     w0 = jnp.where(carry_w, w1, w0)
-                    (wnext,) = _barrel(winl, widx + 2, 1, WIN - 1)
+                    # widx+2 may step past the window at the block tail; the
+                    # clamp + maxidx=WIN makes the refill read zero there
+                    # instead of wrapping onto a lower barrel stage.
+                    (wnext,) = _barrel(winl, jnp.minimum(widx + 2, WIN), 1, WIN)
                     w1 = jnp.where(carry_w, wnext, w1)
                     widx = widx + carry_w.astype(jnp.int32)
                     last = jnp.where(valid, new, last)
