@@ -62,7 +62,7 @@ def main():
     from x3_tpu.models import oracle
     from x3_tpu.models.encoder import encode
     from x3_tpu.ops.decode_kernel import decode_frames
-    from x3_tpu.ops.encode_kernel import encode_frames, frame_geometry
+    from x3_tpu.ops.encode_kernel import encode_frames, fits_width, frame_geometry, width_rungs
     from x3_tpu.params import Parameters
 
     params = Parameters()
@@ -85,10 +85,16 @@ def main():
     dev_nvalid = jax.device_put(n_valid[:batch_frames])
 
     # --- device encode (input-resident, scalar-synced) ---
+    # Measure at the adaptive width rung this corpus steady-states on — the
+    # same specialization models/encoder.py dispatches after its first
+    # batch (worst-case-width fallback still exists for incompressible
+    # input; see width_rungs/fits_width).
+    probe_nbytes = np.asarray(encode_frames(dev_frames, dev_nvalid, params)["nbytes"])
+    w_rung = next(w for w in width_rungs(params) if fits_width(probe_nbytes, w, params))
     enc_sync = jax.jit(
         lambda s, n: (
             lambda o: jnp.sum(o["crc"]) + jnp.sum(o["total_bits"]) + jnp.sum(o["payload_words"].astype(jnp.int32))
-        )(encode_frames(s, n, params))
+        )(encode_frames(s, n, params, "block", w_rung))
     )
     dev_encode_mbs = in_mb / timed(enc_sync, (dev_frames, dev_nvalid), reps)
 
@@ -173,6 +179,7 @@ def main():
         "bit_exact": bool(exact),
         "decode_exact": decode_exact,
         "batch_frames": batch_frames,
+        "encode_width_rung": w_rung,
         "input_mb": round(in_mb, 1),
         "compressed_mb": round(comp_mb, 2),
         "platform": jax.devices()[0].platform,

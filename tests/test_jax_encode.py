@@ -154,3 +154,82 @@ def test_fused_pallas_mode_agrees(rng):
         front_pallas.LANE_TILE, pack_pallas.LANE_TILE = ot
         front_pallas.encode_front_pallas = of
         pack_pallas.pack_blocks_pallas = op
+
+
+def test_compact_width_rung_bit_exact(rng):
+    """A compact w_words specialization produces the identical payload
+    (prefix words, nbytes, crc, stats) whenever the frames fit it."""
+    from x3_tpu.ops.encode_kernel import encode_frames, fits_width, width_rungs
+
+    wav = make_hydrophone(rng, 40_000)
+    frames = wav.reshape(-1, 10_000)
+    nv = np.full(frames.shape[0], 10_000, np.int32)
+    rungs = width_rungs(P)
+    assert rungs[-1] > rungs[0] and len(rungs) >= 2
+    full = encode_frames(frames, nv, P, "block")
+    compact = encode_frames(frames, nv, P, "block", rungs[0])
+    assert fits_width(np.asarray(compact["nbytes"]), rungs[0], P)
+    w = rungs[0]
+    np.testing.assert_array_equal(
+        np.asarray(compact["payload_words"]), np.asarray(full["payload_words"])[:, :w]
+    )
+    for k in ["nbytes", "crc", "stats", "total_bits"]:
+        np.testing.assert_array_equal(np.asarray(compact[k]), np.asarray(full[k]), err_msg=k)
+
+
+def test_compact_width_overflow_detected_and_isolated(rng):
+    """Incompressible frames overflow the compact rung: fits_width flags the
+    batch, nbytes stays correct, and neighbouring frames' words are
+    untouched (the clip keeps the overflow inside its own buffer)."""
+    from x3_tpu.ops.encode_kernel import encode_frames, fits_width, width_rungs
+
+    rungs = width_rungs(P)
+    noise = rng.integers(-32768, 32768, 10_000).astype(np.int16)
+    quiet = make_hydrophone(rng, 10_000)
+    frames = np.stack([quiet, noise, quiet])
+    nv = np.full(3, 10_000, np.int32)
+    full = encode_frames(frames, nv, P, "block")
+    compact = encode_frames(frames, nv, P, "block", rungs[0])
+    nb = np.asarray(compact["nbytes"])
+    assert not fits_width(nb, rungs[0], P)
+    np.testing.assert_array_equal(nb, np.asarray(full["nbytes"]))
+    # frames that individually fit are still bit-exact at the compact rung
+    w = rungs[0]
+    fw = np.asarray(full["payload_words"])
+    cw = np.asarray(compact["payload_words"])
+    np.testing.assert_array_equal(cw[0], fw[0, :w])
+    np.testing.assert_array_equal(cw[2], fw[2, :w])
+
+
+def test_adaptive_encode_escalates_and_matches_oracle(rng):
+    """End-to-end encode() over mixed compressible/incompressible content:
+    the adaptive ladder escalates mid-stream and output stays byte-exact."""
+    wav = np.concatenate(
+        [
+            make_hydrophone(rng, 15_000),
+            rng.integers(-32768, 32768, 15_000).astype(np.int16),
+            make_hydrophone(rng, 5_000),
+        ]
+    )
+    want, _ = oracle_stream(wav)
+    got = encode(wav, P, engine="jax", batch_frames=2)
+    assert got.data == want
+    assert got.width_used is not None
+
+
+def test_stream_encoder_carries_width_hint(rng, tmp_path):
+    """StreamEncoder remembers the escalated rung across batches."""
+    import io
+
+    from x3_tpu.ops.encode_kernel import width_rungs
+    from x3_tpu.streaming import StreamEncoder
+
+    rungs = width_rungs(P)
+    noise = rng.integers(-32768, 32768, 20_000).astype(np.int16)
+    buf = io.BytesIO()
+    enc = StreamEncoder(buf, 96000, P, batch_frames=1)
+    enc.write(noise)
+    assert enc._width_hint == rungs[-1]
+    enc.write(make_hydrophone(rng, 10_000))
+    enc.close()
+    assert enc._width_hint == rungs[-1]  # sticky within the stream

@@ -52,6 +52,7 @@ class EncodeResult:
         self.data = data
         self.stats = stats  # int64 [6]
         self.nbytes = len(data) if nbytes is None else nbytes
+        self.width_used: int | None = None  # jax engine: final adaptive rung
 
     def format_stats(self) -> str:
         t = max(1, int(self.stats.sum()))
@@ -79,11 +80,16 @@ def encode(
     engine: str = "jax",
     batch_frames: int = DEFAULT_BATCH_FRAMES,
     source_id: int = 1,
+    width_hint: int | None = None,
 ) -> EncodeResult:
     """Encode a mono int16 stream into a frame stream (no archive header).
 
     engine: "jax" (batched TPU pipeline), "native" (C++ host core),
-    "numpy" (oracle), or "auto" (routed by workload shape — engine.py)."""
+    "numpy" (oracle), or "auto" (routed by workload shape — engine.py).
+    width_hint: start the adaptive payload-width ladder at the smallest rung
+    covering this many words (callers with cross-call context, e.g. the
+    stream encoder, avoid re-discovering the rung every batch).  The result
+    carries the final rung in `width_used`."""
     if engine == "auto":
         from ..engine import resolve_engine
 
@@ -111,7 +117,7 @@ def encode(
     if engine != "jax":
         raise ValueError(f"unknown engine {engine!r}")
 
-    from ..ops.encode_kernel import encode_frames, frame_geometry
+    from ..ops.encode_kernel import encode_frames, fits_width, width_rungs
 
     spf = params.samples_per_frame
     n = len(samples)
@@ -135,29 +141,49 @@ def encode(
             n_valid[n_full] = len(tail)
         return f_batch, batch, n_valid
 
+    # Adaptive payload-width specialization: encode at a compact rung (the
+    # packing stages scale with the static width) and escalate — sticky, so
+    # incompressible material pays the double dispatch at most once per
+    # call — when a batch's payloads don't fit.  `nbytes` is derived from
+    # the code lengths, not the packed words, so the overflow check is
+    # reliable even for truncated frames.
+    rungs = width_rungs(params)
+    rung = 0
+    if width_hint is not None:
+        while rung < len(rungs) - 1 and rungs[rung] < width_hint:
+            rung += 1
+
     bases = list(range(0, n_frames, batch_frames))
-    pending = None  # (f_batch, n_valid, async device result)
+    pending = None  # (f_batch, n_valid, async device result, width, batch)
     for base in bases + [None]:
         if base is not None:
             f_batch, batch, n_valid = make_batch(base)
             # Dispatch is async: the H2D transfer and device compute of this
             # batch overlap the host-side materialization/assembly of the
             # previous one below.
-            res = encode_frames(batch, n_valid, params)
-            prev, pending = pending, (f_batch, n_valid, res)
+            w = rungs[rung]
+            res = encode_frames(batch, n_valid, params, "block", w)
+            prev, pending = pending, (f_batch, n_valid, res, w, batch)
         else:
             prev, pending = pending, None
         if prev is None:
             continue
-        f_batch, n_valid, res = prev
+        f_batch, n_valid, res, w, batch_np = prev
         nbytes = np.asarray(res["nbytes"])
+        if not fits_width(nbytes[:f_batch], w, params):
+            while rung < len(rungs) - 1:
+                rung += 1
+                if fits_width(nbytes[:f_batch], rungs[rung], params):
+                    break
+            w = rungs[rung]
+            res = encode_frames(batch_np, n_valid, params, "block", w)
+            nbytes = np.asarray(res["nbytes"])
         # Transfer only the populated word columns: payload buffers are
         # sized for incompressible input (W words) but typical frames fill
         # ~W/6 — slicing on device (power-of-two buckets keep the compile
         # cache small) cuts D2H traffic accordingly.
-        S, B, L, W = frame_geometry(params)
         maxw = max(1, (int(nbytes[:f_batch].max(initial=0)) + 3) // 4)
-        wcols = min(W, 1 << (maxw - 1).bit_length())
+        wcols = min(w, 1 << (maxw - 1).bit_length())
         words = np.ascontiguousarray(res["payload_words"][:, :wcols])
         payload = words.byteswap().view(np.uint8)  # big-endian bytes, zero-copy-ish
         crc = np.asarray(res["crc"])
@@ -166,7 +192,9 @@ def encode(
         headers = build_frame_headers(n_valid[:f_batch], source_id, nbytes[:f_batch], crc[:f_batch])
         out_parts.append(_assemble(headers, payload[:f_batch], nbytes[:f_batch]))
 
-    return EncodeResult(b"".join(out_parts), stats)
+    result = EncodeResult(b"".join(out_parts), stats)
+    result.width_used = rungs[rung]
+    return result
 
 
 def _assemble(headers: np.ndarray, payload: np.ndarray, nbytes: np.ndarray) -> bytes:

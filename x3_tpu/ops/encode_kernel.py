@@ -91,6 +91,36 @@ def block_buffer_words(params: Parameters) -> int:
     return -(-(max_block_bits + 31) // 32)
 
 
+def width_rungs(params: Parameters) -> list[int]:
+    """Ascending payload-width specializations for adaptive encode.
+
+    The packing cost scales with the static payload width W (one-hot merge
+    columns, matmul output, CRC), but W is sized for INCOMPRESSIBLE input
+    while typical audio fills a fraction of it.  The host encodes at a
+    compact rung and escalates to the full width only for batches whose
+    `total_bits` (computed from code lengths, independent of the packing
+    writes, so it is correct even when a frame overflows the compact
+    buffer) do not fit — see models/encoder.py.  Measured on v5e at
+    F=1024: full W=5096 3.8 ms vs W=2048 2.7 ms (+40%)."""
+    _, _, _, W = frame_geometry(params)
+    compact = 2048
+    if W > compact * 5 // 4:
+        return [compact, W]
+    return [W]
+
+
+def fits_width(nbytes, w_words: int, params: Parameters | None = None) -> bool:
+    """True when every frame's payload fits a w_words-word buffer (with the
+    end-of-stream spill slack the packer needs)."""
+    import numpy as _np
+
+    if params is not None:
+        _, _, _, W = frame_geometry(params)
+        if w_words >= W:
+            return True
+    return int(_np.max(nbytes, initial=0)) <= (w_words - 2) * 4
+
+
 def _pack_segment_sum(item_val, item_len, W: int):
     """Reference pack: each item contributes to <= 2 words; disjoint-bit
     contributions are combined with one big segment-sum scatter.  Correct but
@@ -101,7 +131,10 @@ def _pack_segment_sum(item_val, item_len, W: int):
     off = ends - item_len  # exclusive prefix sum = absolute bit offsets
     total_bits = ends[:, -1]
 
-    word = (off >> 5).astype(jnp.int32)
+    # Clip keeps an overflowing frame (compact w_words rung smaller than its
+    # payload) inside its own segment range instead of corrupting the next
+    # frame's words; its own tail is garbage, which fits_width flags.
+    word = jnp.clip(off >> 5, 0, W - 1).astype(jnp.int32)
     sh = 32 - (off & 31) - item_len  # left shift if >=0, else straddles words
     shl = jnp.clip(sh, 0, 31).astype(jnp.uint32)
     shr = jnp.clip(-sh, 0, 31).astype(jnp.uint32)
@@ -192,7 +225,7 @@ def _pack_block_buffers(item_val, item_len, W: int, NW: int = 12, use_pallas: bo
 
 
 
-def _encode_frames_fused(s, n_valid, params: Parameters):
+def _encode_frames_fused(s, n_valid, params: Parameters, w_words: int | None = None):
     """Fully kernel-fused encode: the front end (diff/classify/codes) and the
     block packer run as Pallas kernels in lanes-minor layout, with only the
     tiny block-offset cumsum, the MXU merge, and the CRC in XLA."""
@@ -200,6 +233,8 @@ def _encode_frames_fused(s, n_valid, params: Parameters):
     from .pack_pallas import pack_blocks_pallas
 
     S, B, L, W = frame_geometry(params)
+    if w_words is not None:
+        W = min(W, w_words)
     NW = block_buffer_words(params)
     GR = 8
     NB4 = NW + GR - 1
@@ -302,12 +337,18 @@ def _merge_mxu(buf4, block_off, F, B, W, NW, NB4, GR=8):
     return words
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
-def encode_frames(samples: jax.Array, n_valid: jax.Array, params: Parameters, pack_mode: str = "block"):
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def encode_frames(samples: jax.Array, n_valid: jax.Array, params: Parameters, pack_mode: str = "block", w_words: int | None = None):
     """Encode a batch of frames.
 
     samples: int16/int32 [F, S] (payload samples, zero-padded past n_valid)
     n_valid: int32 [F] — number of valid samples per frame (0 = dummy frame)
+    w_words: static payload width specialization (None = worst case from
+      frame_geometry).  With a compact width the packing stages shrink
+      proportionally; frames whose payload exceeds the buffer produce
+      correct `nbytes`/`total_bits`/`stats` but truncated words — callers
+      check `fits_width(nbytes, w_words)` and re-dispatch at a bigger rung
+      (see width_rungs / models/encoder.py).
     Returns dict with:
       payload:  uint8 [F, n_words*4] — packed payload bytes (zero past length)
       nbytes:   int32 [F] — payload length in bytes (word-aligned, even)
@@ -315,6 +356,8 @@ def encode_frames(samples: jax.Array, n_valid: jax.Array, params: Parameters, pa
       stats:    int32 [F, 6] — per-frame code-usage sample counts
     """
     S, B, L, W = frame_geometry(params)
+    if w_words is not None:
+        W = min(W, w_words)
     F = samples.shape[0]
     t0, t1, t2 = params.thresholds
     nsubs = jnp.asarray(_rice_nsubs_np(params))
@@ -323,7 +366,7 @@ def encode_frames(samples: jax.Array, n_valid: jax.Array, params: Parameters, pa
     n = n_valid.astype(jnp.int32)[:, None]  # [F, 1]
 
     if pack_mode == "fused_pallas":
-        return _encode_frames_fused(s, n_valid.astype(jnp.int32), params)
+        return _encode_frames_fused(s, n_valid.astype(jnp.int32), params, w_words)
 
     # ---- diffs over the frame (encoder.rs:222-225) ----
     d = jnp.concatenate([s[:, 1:] - s[:, :-1], jnp.zeros((F, 1), jnp.int32)], axis=1)  # [F, S]
