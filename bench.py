@@ -69,13 +69,16 @@ def main():
     spf = params.samples_per_frame
     S, B, L, W = frame_geometry(params)
 
-    batch_frames = int(os.environ.get("X3_BENCH_BATCH", "1024"))
+    # Encode's sweet spot moved to F=512 with the compact width rung (the
+    # merge-side buffers shrank enough that smaller batches now win:
+    # 10.8 GB/s at F=512 vs 7.9 at F=1024, superlinear degradation above).
+    batch_frames = int(os.environ.get("X3_BENCH_BATCH", "512"))
     # Per-call dispatch on the tunneled TPU costs ~1-2 ms; enough reps
     # amortize it so the number reflects device time, not RPC latency.
     reps = int(os.environ.get("X3_BENCH_REPS", "50"))
     # Decode's chunked kernel amortizes its fixed per-step cost over wide
-    # batches — its sweet spot (F=2048) is wider than encode's (F=1024).
-    dec_batch = int(os.environ.get("X3_BENCH_DECODE_BATCH", str(2 * batch_frames)))
+    # batches — its sweet spot (F=2048) is wider than encode's.
+    dec_batch = int(os.environ.get("X3_BENCH_DECODE_BATCH", str(4 * batch_frames)))
     wav = make_corpus(max(batch_frames, dec_batch), spf)
     in_mb = batch_frames * spf * 2 / 1e6
 
