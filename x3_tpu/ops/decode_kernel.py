@@ -179,7 +179,7 @@ def _decode_impl(payload: jax.Array, n_samples: jax.Array, payload_lens: jax.Arr
     slice_iota = jnp.arange(K, dtype=jnp.int32)[None, :]
 
     def chunk_body(carry, j):
-        off, last, err = carry
+        off, last, err, obuf = carry
         # ONE dependent gather per U blocks: K contiguous G-word slices.
         sw0 = jnp.clip(off >> 5, 0, W - 1)
         q = jnp.clip(sw0 >> gbits, 0, Wg - K)
@@ -320,16 +320,21 @@ def _decode_impl(payload: jax.Array, n_samples: jax.Array, payload_lens: jax.Arr
             blk_code = jnp.where(bpf_err, ERR_INVALID_BPF, jnp.where(oob, ERR_OOB_INVERSE, ERR_OK))
             err = jnp.where(err != ERR_OK, err, blk_code)
             blks.append(blk)
-        return (off, last, err), jnp.concatenate(blks, axis=1)  # [F, U*L]
+        # Write this chunk's samples straight into the output carry (slot
+        # b*L+k is sample 1 + b*L + k, so the stream starts at column 1
+        # after the raw first sample).  The in-place dynamic_update_slice
+        # replaces a stacked-ys epilogue whose [steps, F, U*L] transpose +
+        # concat + s32->s16 convert cost ~1 ms at F=2048.
+        chunk = jnp.concatenate(blks, axis=1).astype(jnp.int16)  # [F, U*L]
+        obuf = jax.lax.dynamic_update_slice(obuf, chunk, (jnp.int32(0), 1 + j * (U * L)))
+        return (off, last, err, obuf), None
 
     off0 = n * 0 + 16  # bitstream starts after the raw first sample
     err0 = jnp.zeros_like(n)
-    (off, last, err), blocks = jax.lax.scan(
-        chunk_body, (off0, first, err0), jnp.arange(steps, dtype=jnp.int32)
+    obuf0 = jnp.zeros((F, 1 + steps * U * L), jnp.int16).at[:, 0].set(first.astype(jnp.int16))
+    (off, last, err, obuf), _ = jax.lax.scan(
+        chunk_body, (off0, first, err0, obuf0), jnp.arange(steps, dtype=jnp.int32)
     )
-    # blocks: [steps, F, U*L] -> sample stream [F, steps*U*L]; slot b*L+k is
-    # sample 1 + b*L + k, so prepending the raw first sample gives the frame.
-    flat = jnp.transpose(blocks, (1, 0, 2)).reshape(F, steps * U * L)
-    out = jnp.concatenate([first[:, None], flat[:, : S - 1]], axis=1)
+    out = obuf[:, :S]
     err = jnp.where(err != ERR_OK, err, jnp.where(off > jnp.int32(W * 32), ERR_OVERRUN, ERR_OK))
-    return out.astype(jnp.int16), err, words
+    return out, err, words
