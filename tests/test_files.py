@@ -266,3 +266,70 @@ def test_8bit_wav_rejected(tmp_path):
         w.writeframes(b"\x00" * 100)
     with pytest.raises(X3Error):
         wav_to_x3a(path, tmp_path / "o.x3a")
+
+
+# ---- X3aReader random access (beyond-reference capability) ----
+
+
+def _random_access_archive(tmp_path, rng):
+    spf = Parameters().samples_per_frame
+    wav = make_hydrophone(rng, 3 * spf + spf // 2)  # 4 frames, partial tail
+    wp, xp = tmp_path / "ra.wav", tmp_path / "ra.x3a"
+    write_wav(wp, wav, 96000)
+    wav_to_x3a(wp, xp, engine="numpy")
+    return wav, xp, spf
+
+
+@pytest.mark.parametrize("engine", ["jax", "numpy"])
+def test_reader_random_access(tmp_path, rng, engine):
+    wav, xp, spf = _random_access_archive(tmp_path, rng)
+    with X3aReader(xp, engine=engine, batch_frames=2) as r:
+        assert len(r) == 4
+        assert r.n_samples == len(wav)
+        np.testing.assert_array_equal(
+            r.sample_offsets, [0, spf, 2 * spf, 3 * spf, len(wav)]
+        )
+        # out-of-order frame access
+        np.testing.assert_array_equal(r.decode_frame_at(2), wav[2 * spf : 3 * spf])
+        np.testing.assert_array_equal(r[0], wav[:spf])
+        np.testing.assert_array_equal(r[-1], wav[3 * spf :])
+        with pytest.raises(IndexError):
+            r.decode_frame_at(4)
+        # arbitrary sample ranges, including a frame-boundary crossing
+        np.testing.assert_array_equal(
+            r.read_samples(spf - 7, 20), wav[spf - 7 : spf + 13]
+        )
+        np.testing.assert_array_equal(r.read_samples(0, 3), wav[:3])
+        # clamped past EOF; empty range
+        np.testing.assert_array_equal(r.read_samples(len(wav) - 5, 999), wav[-5:])
+        assert r.read_samples(len(wav) + 10, 4).size == 0
+        # seek + sequential resumes from the sought frame
+        r.seek_frame(3)
+        assert r.tell_frame() == 3
+        np.testing.assert_array_equal(r.decode_next_frame(), wav[3 * spf :])
+        assert r.decode_next_frame() is None
+
+
+def test_reader_random_access_isolates_damage(tmp_path, rng):
+    """A payload-CRC-corrupt frame raises only for ITSELF; its batch
+    neighbours still decode, and seeking past it works."""
+    wav, xp, spf = _random_access_archive(tmp_path, rng)
+    data = bytearray(xp.read_bytes())
+    _, hdr_end = archive.parse_archive_header(bytes(data))
+    idx = list(archive.walk_frames(bytes(data), hdr_end))
+    po1, h1 = idx[1]
+    data[po1 + 5] ^= 0x10  # corrupt frame 1's payload (CRC now mismatches)
+    bad = tmp_path / "bad.x3a"
+    bad.write_bytes(bytes(data))
+    with X3aReader(bad, engine="jax", batch_frames=4) as r:
+        np.testing.assert_array_equal(r.decode_frame_at(0), wav[:spf])
+        with pytest.raises(FrameHeaderInvalidPayloadCRC):
+            r.decode_frame_at(1)
+        np.testing.assert_array_equal(r.decode_frame_at(2), wav[2 * spf : 3 * spf])
+        # sequential read raises on the CRC-bad frame (reference parity,
+        # decodefile.rs:93-103); seeking past it resumes cleanly
+        r.seek_frame(1)
+        with pytest.raises(FrameHeaderInvalidPayloadCRC):
+            r.decode_next_frame()
+        r.seek_frame(2)
+        np.testing.assert_array_equal(r.decode_next_frame(), wav[2 * spf : 3 * spf])

@@ -286,3 +286,97 @@ class X3aReader:
             return None
         self._cursor += 1
         return out
+
+    # ---- random access (beyond the reference: enabled by the format's
+    # self-contained frames + the header index the reader already holds) ----
+
+    def tell_frame(self) -> int:
+        """Index of the frame the next decode_next_frame() returns."""
+        return self._cursor
+
+    def seek_frame(self, i: int) -> None:
+        """Position the sequential cursor at frame i (clears the
+        stop-at-first-bad-frame latch: seeking past damage is the point
+        of random access)."""
+        if not 0 <= i <= len(self._index):
+            raise IndexError(f"frame {i} out of range 0..{len(self._index)}")
+        self._cursor = i
+        self._stopped = False
+
+    @property
+    def sample_offsets(self) -> np.ndarray:
+        """int64 [n_frames + 1] cumulative sample offsets (from the header
+        index only — no payload decode)."""
+        if not hasattr(self, "_offsets"):
+            counts = np.asarray([h.samples for _, h in self._index], dtype=np.int64)
+            self._offsets = np.concatenate([[0], np.cumsum(counts)])
+        return self._offsets
+
+    @property
+    def n_samples(self) -> int:
+        """Total samples in the archive (header index only)."""
+        return int(self.sample_offsets[-1])
+
+    def decode_frame_at(self, i: int) -> np.ndarray:
+        """Decode frame i directly (batched around it for device
+        efficiency).  Raises the frame's X3Error on damage; other frames'
+        damage in the same batch does not leak (single-frame fallback)."""
+        if not 0 <= i < len(self._index):
+            raise IndexError(f"frame {i} out of range 0..{len(self._index) - 1}")
+        if i not in self._cache or self._cache[i] is None:
+            base = (i // self._batch_frames) * self._batch_frames
+            try:
+                self._decode_batch(base)
+            except X3Error:
+                # another frame in the batch may have raised (e.g. its
+                # payload CRC): decode just frame i
+                self._decode_single(i)
+        out = self._cache.get(i)
+        if out is None:
+            self._decode_single(i)  # raises the frame's own error
+            out = self._cache[i]
+        return out
+
+    def _decode_single(self, i: int) -> None:
+        """Decode exactly frame i, raising its own error class (payload CRC
+        checked first, then the engine's decode taxonomy)."""
+        from .errors import decode_error
+
+        (payload,) = _read_payloads(self._f, self._index[i : i + 1])
+        h = self._index[i][1]
+        if not archive.verify_payload_crcs_parts([payload], [h.payload_crc])[0]:
+            raise FrameHeaderInvalidPayloadCRC(f"frame {i} payload CRC mismatch")
+        params = self._spec.params
+        if self._engine == "jax":
+            outs, errs = decode_frames_batch([payload], [h.samples], params)
+            if errs[0]:
+                raise decode_error(int(errs[0]), f"frame {i} failed to decode")
+            out = outs[0]
+        elif self._engine == "native":
+            from . import native as native_mod
+
+            out = native_mod.decode_frame(payload, params, h.samples)
+        else:
+            out = oracle.decode_frame(payload, params, h.samples)
+        self._cache[i] = out
+
+    def __getitem__(self, i: int) -> np.ndarray:
+        if i < 0:
+            i += len(self._index)
+        return self.decode_frame_at(i)
+
+    def read_samples(self, start: int, count: int) -> np.ndarray:
+        """Decode an arbitrary [start, start+count) sample range, touching
+        only the frames that cover it."""
+        off = self.sample_offsets
+        total = int(off[-1])
+        start = max(0, min(start, total))
+        stop = max(start, min(start + count, total))
+        if start == stop:
+            return np.zeros(0, np.int16)
+        f0 = int(np.searchsorted(off, start, side="right")) - 1
+        f1 = int(np.searchsorted(off, stop, side="left"))  # exclusive
+        parts = [self.decode_frame_at(i) for i in range(f0, f1)]
+        chunk = np.concatenate(parts)
+        base = int(off[f0])
+        return chunk[start - base : stop - base]
