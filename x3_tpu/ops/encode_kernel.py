@@ -202,24 +202,43 @@ def _pack_block_buffers(item_val, item_len, W: int, NW: int = 12, use_pallas: bo
         l0, l1 = item_len[:, :, 0::2], item_len[:, :, 1::2]
         mval = (v0 << jnp.clip(l1, 0, 31).astype(jnp.uint32)) | v1
         mlen = l0 + l1
-        mpoff = jnp.cumsum(mlen, axis=2) - mlen + r2[:, :, None]
+        return _pack_pairs(mval, mlen, W, NW)
 
-        t = (mpoff >> 5).astype(jnp.int32)  # target word slot, 0..NB4-1
-        sh = 32 - (mpoff & 31) - mlen  # in [-31, 30] for <= 32-bit items
-        shl = jnp.clip(sh, 0, 31).astype(jnp.uint32)
-        shr = jnp.clip(-sh, 0, 31).astype(jnp.uint32)
-        hi = jnp.where(sh >= 0, mval << shl, mval >> shr)
-        lo = jnp.where(sh < 0, mval << (32 - shr), jnp.uint32(0))
+    words = _merge_mxu(buf4, block_off, F, B, W, NW, NB4, GR)
+    return words, total_bits.astype(jnp.int32)
 
-        # Elementwise select-accumulate: slot[w] = sum of item pieces
-        # targeted at w (bit-disjoint, so + == |).
-        buf4 = []
-        for w in range(NB4):
-            acc = jnp.sum(jnp.where(t == w, hi, jnp.uint32(0)), axis=2)
-            acc = acc + jnp.sum(jnp.where(t + 1 == w, lo, jnp.uint32(0)), axis=2)
-            buf4.append(acc)
-        buf4 = jnp.stack(buf4, axis=2)  # [F, B, NB4]
 
+def _pack_pairs(mval, mlen, W: int, NW: int):
+    """Pack pre-merged <=32-bit item pairs: mval uint32 / mlen int32
+    [F, B, P].  The encode front produces pairs directly (skipping an
+    [F, B, 2+L] item materialization); see _pack_block_buffers for the
+    algorithm description."""
+    F, B, P = mval.shape
+    GR = 8
+    NB4 = NW + GR - 1
+    ends = jnp.cumsum(mlen, axis=2)
+    block_bits = ends[:, :, -1]
+    block_end = jnp.cumsum(block_bits, axis=1)
+    block_off = block_end - block_bits
+    total_bits = block_end[:, -1]
+    r2 = block_off & (32 * GR - 1)
+    mpoff = ends - mlen + r2[:, :, None]
+
+    t = (mpoff >> 5).astype(jnp.int32)  # target word slot, 0..NB4-1
+    sh = 32 - (mpoff & 31) - mlen  # in [-31, 30] for <= 32-bit items
+    shl = jnp.clip(sh, 0, 31).astype(jnp.uint32)
+    shr = jnp.clip(-sh, 0, 31).astype(jnp.uint32)
+    hi = jnp.where(sh >= 0, mval << shl, mval >> shr)
+    lo = jnp.where(sh < 0, mval << (32 - shr), jnp.uint32(0))
+
+    # Elementwise select-accumulate: slot[w] = sum of item pieces
+    # targeted at w (bit-disjoint, so + == |).
+    buf4 = []
+    for w in range(NB4):
+        acc = jnp.sum(jnp.where(t == w, hi, jnp.uint32(0)), axis=2)
+        acc = acc + jnp.sum(jnp.where(t + 1 == w, lo, jnp.uint32(0)), axis=2)
+        buf4.append(acc)
+    buf4 = jnp.stack(buf4, axis=2)  # [F, B, NB4]
     words = _merge_mxu(buf4, block_off, F, B, W, NW, NB4, GR)
     return words, total_bits.astype(jnp.int32)
 
@@ -369,12 +388,14 @@ def encode_frames(samples: jax.Array, n_valid: jax.Array, params: Parameters, pa
         return _encode_frames_fused(s, n_valid.astype(jnp.int32), params, w_words)
 
     # ---- diffs over the frame (encoder.rs:222-225) ----
-    d = jnp.concatenate([s[:, 1:] - s[:, :-1], jnp.zeros((F, 1), jnp.int32)], axis=1)  # [F, S]
+    # One shared shifted copy feeds both the diffs and the literal samples.
+    snext = jnp.concatenate([s[:, 1:], jnp.zeros((F, 1), jnp.int32)], axis=1)  # [F, S]
+    d = snext - s
     samp_idx = jax.lax.broadcasted_iota(jnp.int32, (F, S), 1)  # diff i belongs to sample i+1
     valid = (samp_idx + 1) < n  # [F, S]
     db = d.reshape(F, B, L)
     vb = valid.reshape(F, B, L)
-    sb = jnp.concatenate([s[:, 1:], jnp.zeros((F, 1), jnp.int32)], axis=1).reshape(F, B, L)
+    sb = snext.reshape(F, B, L)
 
     # ---- block classification (x3_encode_block, encoder.rs:289-315) ----
     ma = jnp.max(jnp.where(vb, jnp.abs(db), 0), axis=2)  # [F, B]
@@ -422,19 +443,40 @@ def encode_frames(samples: jax.Array, n_valid: jax.Array, params: Parameters, pa
     onehot = (slot[:, :, None] == jnp.arange(6)[None, None, :]) & present[:, :, None]
     stats = jnp.sum(onehot * cnt[:, :, None], axis=1)
 
-    # ---- item stream as [F, B, 22]: [first?][hdr][20 samples] per block ----
-    # Slot 0 carries the frame's raw 16-bit first sample in block 0 only.
-    first_val = jnp.zeros((F, B, 1), jnp.int32).at[:, 0, 0].set(s[:, 0] & 0xFFFF)
-    first_len = jnp.zeros((F, B, 1), jnp.int32).at[:, 0, 0].set(jnp.where(n_valid > 0, 16, 0))
-    item_val = jnp.concatenate([first_val, hdr_val[:, :, None], val], axis=2).astype(jnp.uint32)
-    item_len = jnp.concatenate([first_len, hdr_len[:, :, None], ln], axis=2)
-
-    if pack_mode in ("block", "block_pallas"):
-        words, total_bits = _pack_block_buffers(
-            item_val, item_len, W, block_buffer_words(params), use_pallas=(pack_mode == "block_pallas")
-        )
-    elif pack_mode == "segment":
-        words, total_bits = _pack_segment_sum(item_val.reshape(F, -1), item_len.reshape(F, -1), W)
+    if pack_mode == "block":
+        # ---- direct pair production: [F, B, 1 + ceil(L/2)] <=32-bit
+        # items, skipping the [F, B, 2+L] item-stream materialization.
+        # Pair 0 concatenates [raw first sample (block 0 only)][header];
+        # pair j >= 1 concatenates samples (2j-2, 2j-1) of the block. ----
+        is_b0 = jax.lax.broadcasted_iota(jnp.int32, (F, B), 1) == 0
+        first_val = jnp.where(is_b0 & (n > 0), (s[:, 0] & 0xFFFF)[:, None], 0)  # [F, B]
+        first_len = jnp.where(is_b0 & (n > 0), 16, 0)
+        p0_val = (first_val.astype(jnp.uint32) << jnp.clip(hdr_len, 0, 31).astype(jnp.uint32)) | hdr_val.astype(jnp.uint32)
+        p0_len = first_len + hdr_len
+        valu = val.astype(jnp.uint32)
+        if L % 2:
+            valu = jnp.concatenate([valu, jnp.zeros((F, B, 1), jnp.uint32)], axis=2)
+            ln = jnp.concatenate([ln, jnp.zeros((F, B, 1), jnp.int32)], axis=2)
+        v0, v1 = valu[:, :, 0::2], valu[:, :, 1::2]
+        l0, l1 = ln[:, :, 0::2], ln[:, :, 1::2]
+        pv = (v0 << jnp.clip(l1, 0, 31).astype(jnp.uint32)) | v1
+        pl = l0 + l1
+        mval = jnp.concatenate([p0_val[:, :, None], pv], axis=2)
+        mlen = jnp.concatenate([p0_len[:, :, None], pl], axis=2)
+        words, total_bits = _pack_pairs(mval, mlen, W, block_buffer_words(params))
+    elif pack_mode in ("segment", "block_pallas"):
+        # ---- item stream as [F, B, 2+L]: [first?][hdr][samples] ----
+        # Slot 0 carries the frame's raw 16-bit first sample in block 0 only.
+        first_val = jnp.zeros((F, B, 1), jnp.int32).at[:, 0, 0].set(s[:, 0] & 0xFFFF)
+        first_len = jnp.zeros((F, B, 1), jnp.int32).at[:, 0, 0].set(jnp.where(n_valid > 0, 16, 0))
+        item_val = jnp.concatenate([first_val, hdr_val[:, :, None], val], axis=2).astype(jnp.uint32)
+        item_len = jnp.concatenate([first_len, hdr_len[:, :, None], ln], axis=2)
+        if pack_mode == "block_pallas":
+            words, total_bits = _pack_block_buffers(
+                item_val, item_len, W, block_buffer_words(params), use_pallas=True
+            )
+        else:
+            words, total_bits = _pack_segment_sum(item_val.reshape(F, -1), item_len.reshape(F, -1), W)
     else:
         raise ValueError(f"unknown pack_mode {pack_mode!r}")
 
