@@ -62,23 +62,30 @@ def main():
     from x3_tpu.models import oracle
     from x3_tpu.models.encoder import encode
     from x3_tpu.ops.decode_kernel import decode_frames
-    from x3_tpu.ops.encode_kernel import encode_frames, fits_width, frame_geometry, width_rungs
+    from x3_tpu.ops.encode_kernel import (
+        block_width_rungs,
+        encode_frames,
+        fits_block_width,
+        fits_width,
+        frame_geometry,
+        width_rungs,
+    )
     from x3_tpu.params import Parameters
 
     params = Parameters()
     spf = params.samples_per_frame
     S, B, L, W = frame_geometry(params)
 
-    # Encode's sweet spot moved to F=512 with the compact width rung (the
-    # merge-side buffers shrank enough that smaller batches now win:
-    # 10.8 GB/s at F=512 vs 7.9 at F=1024, superlinear degradation above).
-    batch_frames = int(os.environ.get("X3_BENCH_BATCH", "512"))
+    # Encode's sweet spot moved to F=768 with the compact width + compact
+    # block-buffer rungs (11.0 GB/s at F=768 vs 9.6 at F=512 / 8.8 at
+    # F=1024 on the hydrophone corpus).
+    batch_frames = int(os.environ.get("X3_BENCH_BATCH", "768"))
     # Per-call dispatch on the tunneled TPU costs ~1-2 ms; enough reps
     # amortize it so the number reflects device time, not RPC latency.
     reps = int(os.environ.get("X3_BENCH_REPS", "50"))
     # Decode's chunked kernel amortizes its fixed per-step cost over wide
     # batches — its sweet spot (F=2048) is wider than encode's.
-    dec_batch = int(os.environ.get("X3_BENCH_DECODE_BATCH", str(4 * batch_frames)))
+    dec_batch = int(os.environ.get("X3_BENCH_DECODE_BATCH", "2048"))
     wav = make_corpus(max(batch_frames, dec_batch), spf)
     in_mb = batch_frames * spf * 2 / 1e6
 
@@ -92,12 +99,17 @@ def main():
     # same specialization models/encoder.py dispatches after its first
     # batch (worst-case-width fallback still exists for incompressible
     # input; see width_rungs/fits_width).
-    probe_nbytes = np.asarray(encode_frames(dev_frames, dev_nvalid, params)["nbytes"])
+    probe = encode_frames(dev_frames, dev_nvalid, params)
+    probe_nbytes = np.asarray(probe["nbytes"])
+    probe_blockfit = np.asarray(probe["blockfit_bits"])
     w_rung = next(w for w in width_rungs(params) if fits_width(probe_nbytes, w, params))
+    nw_rung = next(
+        nw for nw in block_width_rungs(params) if fits_block_width(probe_blockfit, nw, params)
+    )
     enc_sync = jax.jit(
         lambda s, n: (
             lambda o: jnp.sum(o["crc"]) + jnp.sum(o["total_bits"]) + jnp.sum(o["payload_words"].astype(jnp.int32))
-        )(encode_frames(s, n, params, "block", w_rung))
+        )(encode_frames(s, n, params, "block", w_rung, nw_rung))
     )
     dev_encode_mbs = in_mb / timed(enc_sync, (dev_frames, dev_nvalid), reps)
 
@@ -183,6 +195,7 @@ def main():
         "decode_exact": decode_exact,
         "batch_frames": batch_frames,
         "encode_width_rung": w_rung,
+        "encode_block_width_rung": nw_rung,
         "input_mb": round(in_mb, 1),
         "compressed_mb": round(comp_mb, 2),
         "platform": jax.devices()[0].platform,

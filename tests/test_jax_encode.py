@@ -221,15 +221,82 @@ def test_stream_encoder_carries_width_hint(rng, tmp_path):
     """StreamEncoder remembers the escalated rung across batches."""
     import io
 
-    from x3_tpu.ops.encode_kernel import width_rungs
+    from x3_tpu.ops.encode_kernel import block_width_rungs, width_rungs
     from x3_tpu.streaming import StreamEncoder
 
     rungs = width_rungs(P)
+    nw_rungs = block_width_rungs(P)
     noise = rng.integers(-32768, 32768, 20_000).astype(np.int16)
     buf = io.BytesIO()
     enc = StreamEncoder(buf, 96000, P, batch_frames=1)
     enc.write(noise)
     assert enc._width_hint == rungs[-1]
+    assert enc._block_width_hint == nw_rungs[-1]
     enc.write(make_hydrophone(rng, 10_000))
     enc.close()
     assert enc._width_hint == rungs[-1]  # sticky within the stream
+    assert enc._block_width_hint == nw_rungs[-1]
+
+
+def test_compact_block_width_rung_bit_exact(rng):
+    """A compact nw_words (block-buffer) specialization produces identical
+    output whenever every block's r2+bits fit it (fits_block_width)."""
+    from x3_tpu.ops.encode_kernel import (
+        block_width_rungs,
+        encode_frames,
+        fits_block_width,
+        width_rungs,
+    )
+
+    wav = make_hydrophone(rng, 40_000)
+    frames = wav.reshape(-1, 10_000)
+    nv = np.full(frames.shape[0], 10_000, np.int32)
+    nw_rungs = block_width_rungs(P)
+    assert nw_rungs[-1] > nw_rungs[0] and len(nw_rungs) >= 2
+    w = width_rungs(P)[0]
+    full = encode_frames(frames, nv, P, "block", w)
+    compact = encode_frames(frames, nv, P, "block", w, nw_rungs[0])
+    assert fits_block_width(np.asarray(compact["blockfit_bits"]), nw_rungs[0], P)
+    np.testing.assert_array_equal(
+        np.asarray(compact["blockfit_bits"]), np.asarray(full["blockfit_bits"])
+    )
+    for k in ["payload_words", "nbytes", "crc", "stats", "total_bits"]:
+        np.testing.assert_array_equal(np.asarray(compact[k]), np.asarray(full[k]), err_msg=k)
+
+
+def test_compact_block_width_overflow_detected(rng):
+    """Blocks too wide for the compact block buffer are flagged by
+    fits_block_width while nbytes/total_bits/blockfit stay correct."""
+    from x3_tpu.ops.encode_kernel import (
+        block_width_rungs,
+        encode_frames,
+        fits_block_width,
+    )
+
+    nw_rungs = block_width_rungs(P)
+    # A BFP-coded burst: diffs ~±2000 (11-bit codes, 20*12+6=246 bits/block
+    # + worst-case r2 skew can exceed the compact 13*32=416-bit buffer
+    # only with bigger codes, so use ±8000 diffs -> 15-bit literals).
+    wav = np.zeros(10_000, np.int16)
+    wav[5000:5200] = (rng.integers(0, 2, 200) * 2 - 1).astype(np.int16) * 12000
+    frames = wav.reshape(1, -1)
+    nv = np.full(1, 10_000, np.int32)
+    full = encode_frames(frames, nv, P, "block")
+    compact = encode_frames(frames, nv, P, "block", None, nw_rungs[0])
+    bf = np.asarray(compact["blockfit_bits"])
+    assert not fits_block_width(bf, nw_rungs[0], P)
+    assert fits_block_width(bf, nw_rungs[-1], P)
+    for k in ["nbytes", "total_bits", "blockfit_bits"]:
+        np.testing.assert_array_equal(np.asarray(compact[k]), np.asarray(full[k]), err_msg=k)
+
+
+def test_adaptive_block_width_escalates_and_matches_oracle(rng):
+    """encode() with a mid-stream loud burst escalates the block-buffer rung
+    (sticky) and stays byte-exact vs the oracle."""
+    quiet = make_hydrophone(rng, 15_000)
+    loud = (rng.integers(0, 2, 15_000) * 2 - 1).astype(np.int16) * 12000
+    wav = np.concatenate([quiet, loud, make_hydrophone(rng, 5_000)])
+    want, _ = oracle_stream(wav)
+    got = encode(wav, P, engine="jax", batch_frames=2)
+    assert got.data == want
+    assert got.block_width_used is not None

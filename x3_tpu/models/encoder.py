@@ -53,6 +53,7 @@ class EncodeResult:
         self.stats = stats  # int64 [6]
         self.nbytes = len(data) if nbytes is None else nbytes
         self.width_used: int | None = None  # jax engine: final adaptive rung
+        self.block_width_used: int | None = None  # final block-buffer rung
 
     def format_stats(self) -> str:
         t = max(1, int(self.stats.sum()))
@@ -81,6 +82,7 @@ def encode(
     batch_frames: int = DEFAULT_BATCH_FRAMES,
     source_id: int = 1,
     width_hint: int | None = None,
+    block_width_hint: int | None = None,
 ) -> EncodeResult:
     """Encode a mono int16 stream into a frame stream (no archive header).
 
@@ -89,7 +91,9 @@ def encode(
     width_hint: start the adaptive payload-width ladder at the smallest rung
     covering this many words (callers with cross-call context, e.g. the
     stream encoder, avoid re-discovering the rung every batch).  The result
-    carries the final rung in `width_used`."""
+    carries the final rung in `width_used`.
+    block_width_hint: same for the block-buffer width ladder
+    (`block_width_used` on the result)."""
     if engine == "auto":
         from ..engine import resolve_engine
 
@@ -117,7 +121,13 @@ def encode(
     if engine != "jax":
         raise ValueError(f"unknown engine {engine!r}")
 
-    from ..ops.encode_kernel import encode_frames, fits_width, width_rungs
+    from ..ops.encode_kernel import (
+        block_width_rungs,
+        encode_frames,
+        fits_block_width,
+        fits_width,
+        width_rungs,
+    )
 
     spf = params.samples_per_frame
     n = len(samples)
@@ -141,42 +151,58 @@ def encode(
             n_valid[n_full] = len(tail)
         return f_batch, batch, n_valid
 
-    # Adaptive payload-width specialization: encode at a compact rung (the
-    # packing stages scale with the static width) and escalate — sticky, so
+    # Adaptive width specializations: encode at compact payload-width (W)
+    # and block-buffer-width (NW) rungs — the packing stages scale with
+    # both statics — and escalate each independently (sticky, so
     # incompressible material pays the double dispatch at most once per
-    # call — when a batch's payloads don't fit.  `nbytes` is derived from
-    # the code lengths, not the packed words, so the overflow check is
-    # reliable even for truncated frames.
+    # call) when a batch overflows.  `nbytes` and `blockfit_bits` are
+    # derived from the code lengths, not the packed words, so the overflow
+    # checks are reliable even for truncated frames.
     rungs = width_rungs(params)
+    nw_rungs = block_width_rungs(params)
     rung = 0
+    nw_rung = 0
     if width_hint is not None:
         while rung < len(rungs) - 1 and rungs[rung] < width_hint:
             rung += 1
+    if block_width_hint is not None:
+        while nw_rung < len(nw_rungs) - 1 and nw_rungs[nw_rung] < block_width_hint:
+            nw_rung += 1
 
     bases = list(range(0, n_frames, batch_frames))
-    pending = None  # (f_batch, n_valid, async device result, width, batch)
+    pending = None  # (f_batch, n_valid, async device result, width, nw, batch)
     for base in bases + [None]:
         if base is not None:
             f_batch, batch, n_valid = make_batch(base)
             # Dispatch is async: the H2D transfer and device compute of this
             # batch overlap the host-side materialization/assembly of the
             # previous one below.
-            w = rungs[rung]
-            res = encode_frames(batch, n_valid, params, "block", w)
-            prev, pending = pending, (f_batch, n_valid, res, w, batch)
+            w, nw = rungs[rung], nw_rungs[nw_rung]
+            res = encode_frames(batch, n_valid, params, "block", w, nw)
+            prev, pending = pending, (f_batch, n_valid, res, w, nw, batch)
         else:
             prev, pending = pending, None
         if prev is None:
             continue
-        f_batch, n_valid, res, w, batch_np = prev
+        f_batch, n_valid, res, w, nw, batch_np = prev
         nbytes = np.asarray(res["nbytes"])
-        if not fits_width(nbytes[:f_batch], w, params):
-            while rung < len(rungs) - 1:
+        need_w = not fits_width(nbytes[:f_batch], w, params)
+        need_nw = not fits_block_width(
+            np.asarray(res["blockfit_bits"])[:f_batch], nw, params
+        )
+        if need_w or need_nw:
+            while need_w and rung < len(rungs) - 1:
                 rung += 1
                 if fits_width(nbytes[:f_batch], rungs[rung], params):
                     break
-            w = rungs[rung]
-            res = encode_frames(batch_np, n_valid, params, "block", w)
+            if need_nw:
+                bf = np.asarray(res["blockfit_bits"])[:f_batch]
+                while nw_rung < len(nw_rungs) - 1:
+                    nw_rung += 1
+                    if fits_block_width(bf, nw_rungs[nw_rung], params):
+                        break
+            w, nw = rungs[rung], nw_rungs[nw_rung]
+            res = encode_frames(batch_np, n_valid, params, "block", w, nw)
             nbytes = np.asarray(res["nbytes"])
         # Transfer only the populated word columns: payload buffers are
         # sized for incompressible input (W words) but typical frames fill
@@ -194,6 +220,7 @@ def encode(
 
     result = EncodeResult(b"".join(out_parts), stats)
     result.width_used = rungs[rung]
+    result.block_width_used = nw_rungs[nw_rung]
     return result
 
 

@@ -121,6 +121,37 @@ def fits_width(nbytes, w_words: int, params: Parameters | None = None) -> bool:
     return int(_np.max(nbytes, initial=0)) <= (w_words - 2) * 4
 
 
+def block_width_rungs(params: Parameters) -> list[int]:
+    """Ascending block-buffer width (NW) specializations for adaptive encode.
+
+    The level-1 select-accumulate pack and the MXU merge both scale with
+    NB4 = NW + GR - 1 word slots, but block_buffer_words sizes NW for an
+    INCOMPRESSIBLE block (16 bits/sample) while compressible audio's blocks
+    run ~6-8 bits/sample.  Same trick as width_rungs at block granularity:
+    encode at a compact NW, escalate (sticky) when any block's
+    r2 + block_bits exceeds the compact buffer — see fits_block_width and
+    models/encoder.py.  Measured on v5e (hydrophone corpus, F=768,
+    W rung 2048): NW=12 1.76 ms vs NW=6 1.43 ms; with the F=768 sweet spot
+    this took device encode 8.6 -> ~11 GB/s."""
+    full = block_buffer_words(params)
+    return sorted({min(6, full), max(6, full // 2) if full > 6 else full, full})
+
+
+def fits_block_width(blockfit_bits, nw_words: int, params: Parameters | None = None) -> bool:
+    """True when every block's packed bits fit an nw_words block buffer.
+
+    blockfit_bits is encode_frames' per-frame max of (r2 + block_bits) —
+    computed from the code lengths alone, so it is reliable even when the
+    packing writes themselves overflowed the compact buffer.  The last item
+    of a block straddles into word (r2 + block_bits - 1) >> 5, which must
+    stay within the NB4 = nw_words + GR - 1 level-1 slots."""
+    import numpy as _np
+
+    if params is not None and nw_words >= block_buffer_words(params):
+        return True
+    return int(_np.max(blockfit_bits, initial=0)) <= (nw_words + 8 - 1) * 32
+
+
 def _pack_segment_sum(item_val, item_len, W: int):
     """Reference pack: each item contributes to <= 2 words; disjoint-bit
     contributions are combined with one big segment-sum scatter.  Correct but
@@ -176,6 +207,7 @@ def _pack_block_buffers(item_val, item_len, W: int, NW: int = 12, use_pallas: bo
     block_off = block_end - block_bits  # global bit offset of block start
     total_bits = block_end[:, -1]
     r2 = block_off & (32 * GR - 1)  # bit offset within the GR-word superword
+    blockfit = jnp.max(r2 + block_bits, axis=1)
 
     if use_pallas:
         from .pack_pallas import LANE_TILE, pack_blocks_pallas
@@ -205,14 +237,18 @@ def _pack_block_buffers(item_val, item_len, W: int, NW: int = 12, use_pallas: bo
         return _pack_pairs(mval, mlen, W, NW)
 
     words = _merge_mxu(buf4, block_off, F, B, W, NW, NB4, GR)
-    return words, total_bits.astype(jnp.int32)
+    return words, total_bits.astype(jnp.int32), blockfit.astype(jnp.int32)
 
 
 def _pack_pairs(mval, mlen, W: int, NW: int):
     """Pack pre-merged <=32-bit item pairs: mval uint32 / mlen int32
     [F, B, P].  The encode front produces pairs directly (skipping an
     [F, B, 2+L] item materialization); see _pack_block_buffers for the
-    algorithm description."""
+    algorithm description.
+
+    Returns (words, total_bits, blockfit_bits); blockfit_bits is the
+    per-frame max of r2 + block_bits, the quantity fits_block_width checks
+    against the (possibly compact) NW rung."""
     F, B, P = mval.shape
     GR = 8
     NB4 = NW + GR - 1
@@ -222,6 +258,7 @@ def _pack_pairs(mval, mlen, W: int, NW: int):
     block_off = block_end - block_bits
     total_bits = block_end[:, -1]
     r2 = block_off & (32 * GR - 1)
+    blockfit = jnp.max(r2 + block_bits, axis=1)
     mpoff = ends - mlen + r2[:, :, None]
 
     t = (mpoff >> 5).astype(jnp.int32)  # target word slot, 0..NB4-1
@@ -240,11 +277,11 @@ def _pack_pairs(mval, mlen, W: int, NW: int):
         buf4.append(acc)
     buf4 = jnp.stack(buf4, axis=2)  # [F, B, NB4]
     words = _merge_mxu(buf4, block_off, F, B, W, NW, NB4, GR)
-    return words, total_bits.astype(jnp.int32)
+    return words, total_bits.astype(jnp.int32), blockfit.astype(jnp.int32)
 
 
 
-def _encode_frames_fused(s, n_valid, params: Parameters, w_words: int | None = None):
+def _encode_frames_fused(s, n_valid, params: Parameters, w_words: int | None = None, nw_words: int | None = None):
     """Fully kernel-fused encode: the front end (diff/classify/codes) and the
     block packer run as Pallas kernels in lanes-minor layout, with only the
     tiny block-offset cumsum, the MXU merge, and the CRC in XLA."""
@@ -255,6 +292,8 @@ def _encode_frames_fused(s, n_valid, params: Parameters, w_words: int | None = N
     if w_words is not None:
         W = min(W, w_words)
     NW = block_buffer_words(params)
+    if nw_words is not None:
+        NW = min(NW, nw_words)
     GR = 8
     NB4 = NW + GR - 1
     F = s.shape[0]
@@ -297,6 +336,7 @@ def _encode_frames_fused(s, n_valid, params: Parameters, w_words: int | None = N
     block_end = jnp.cumsum(block_bits, axis=1)
     block_off = block_end - block_bits
     total_bits = block_end[:, -1]
+    blockfit = jnp.max((block_off & (32 * GR - 1)) + block_bits, axis=1)
     r2 = lanes(block_off & (32 * GR - 1))
 
     buf4_ln = pack_blocks_pallas(vals, lens, r2, NB4, False)
@@ -313,6 +353,7 @@ def _encode_frames_fused(s, n_valid, params: Parameters, w_words: int | None = N
         "crc": crc.astype(jnp.int32),
         "stats": stats,
         "total_bits": total_bits,
+        "blockfit_bits": blockfit.astype(jnp.int32),
     }
 
 
@@ -356,8 +397,8 @@ def _merge_mxu(buf4, block_off, F, B, W, NW, NB4, GR=8):
     return words
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
-def encode_frames(samples: jax.Array, n_valid: jax.Array, params: Parameters, pack_mode: str = "block", w_words: int | None = None):
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def encode_frames(samples: jax.Array, n_valid: jax.Array, params: Parameters, pack_mode: str = "block", w_words: int | None = None, nw_words: int | None = None):
     """Encode a batch of frames.
 
     samples: int16/int32 [F, S] (payload samples, zero-padded past n_valid)
@@ -368,15 +409,25 @@ def encode_frames(samples: jax.Array, n_valid: jax.Array, params: Parameters, pa
       correct `nbytes`/`total_bits`/`stats` but truncated words — callers
       check `fits_width(nbytes, w_words)` and re-dispatch at a bigger rung
       (see width_rungs / models/encoder.py).
+    nw_words: static block-buffer width specialization (None = worst case
+      from block_buffer_words).  Same contract as w_words at block
+      granularity: a block whose r2 + block_bits exceeds the compact buffer
+      yields truncated words but correct `nbytes`/`total_bits`/`stats`/
+      `blockfit_bits` — callers check `fits_block_width(blockfit_bits,
+      nw_words)` and re-dispatch (see block_width_rungs).
     Returns dict with:
       payload:  uint8 [F, n_words*4] — packed payload bytes (zero past length)
       nbytes:   int32 [F] — payload length in bytes (word-aligned, even)
       crc:      int32 [F] — payload CRC16
       stats:    int32 [F, 6] — per-frame code-usage sample counts
+      blockfit_bits: int32 [F] — max block r2+bits (block-rung escalation)
     """
     S, B, L, W = frame_geometry(params)
     if w_words is not None:
         W = min(W, w_words)
+    NW = block_buffer_words(params)
+    if nw_words is not None:
+        NW = min(NW, nw_words)
     F = samples.shape[0]
     t0, t1, t2 = params.thresholds
     nsubs = jnp.asarray(_rice_nsubs_np(params))
@@ -385,7 +436,7 @@ def encode_frames(samples: jax.Array, n_valid: jax.Array, params: Parameters, pa
     n = n_valid.astype(jnp.int32)[:, None]  # [F, 1]
 
     if pack_mode == "fused_pallas":
-        return _encode_frames_fused(s, n_valid.astype(jnp.int32), params, w_words)
+        return _encode_frames_fused(s, n_valid.astype(jnp.int32), params, w_words, nw_words)
 
     # ---- diffs over the frame (encoder.rs:222-225) ----
     # One shared shifted copy feeds both the diffs and the literal samples.
@@ -463,7 +514,7 @@ def encode_frames(samples: jax.Array, n_valid: jax.Array, params: Parameters, pa
         pl = l0 + l1
         mval = jnp.concatenate([p0_val[:, :, None], pv], axis=2)
         mlen = jnp.concatenate([p0_len[:, :, None], pl], axis=2)
-        words, total_bits = _pack_pairs(mval, mlen, W, block_buffer_words(params))
+        words, total_bits, blockfit = _pack_pairs(mval, mlen, W, NW)
     elif pack_mode in ("segment", "block_pallas"):
         # ---- item stream as [F, B, 2+L]: [first?][hdr][samples] ----
         # Slot 0 carries the frame's raw 16-bit first sample in block 0 only.
@@ -472,11 +523,12 @@ def encode_frames(samples: jax.Array, n_valid: jax.Array, params: Parameters, pa
         item_val = jnp.concatenate([first_val, hdr_val[:, :, None], val], axis=2).astype(jnp.uint32)
         item_len = jnp.concatenate([first_len, hdr_len[:, :, None], ln], axis=2)
         if pack_mode == "block_pallas":
-            words, total_bits = _pack_block_buffers(
-                item_val, item_len, W, block_buffer_words(params), use_pallas=True
+            words, total_bits, blockfit = _pack_block_buffers(
+                item_val, item_len, W, NW, use_pallas=True
             )
         else:
             words, total_bits = _pack_segment_sum(item_val.reshape(F, -1), item_len.reshape(F, -1), W)
+            blockfit = jnp.zeros((F,), jnp.int32)  # segment pack has no block buffers
     else:
         raise ValueError(f"unknown pack_mode {pack_mode!r}")
 
@@ -493,4 +545,5 @@ def encode_frames(samples: jax.Array, n_valid: jax.Array, params: Parameters, pa
         "crc": crc.astype(jnp.int32),
         "stats": stats,
         "total_bits": total_bits.astype(jnp.int32),
+        "blockfit_bits": blockfit.astype(jnp.int32),
     }

@@ -46,6 +46,7 @@ def encode_frames_sharded(samples, n_valid, params: Parameters, mesh: Mesh):
             "crc": P(AXIS),
             "stats": P(AXIS, None),
             "total_bits": P(AXIS),
+            "blockfit_bits": P(AXIS),
         },
     )
     samples = jax.device_put(samples, NamedSharding(mesh, P(AXIS, None)))

@@ -55,7 +55,8 @@ class StreamEncoder:
         self._closed = False
         self._own_file = isinstance(out_file, (str, bytes)) or hasattr(out_file, "__fspath__")
         self._f = open(out_file, "wb") if self._own_file else out_file
-        self._width_hint: int | None = None  # adaptive rung carried across batches
+        self._width_hint: int | None = None  # adaptive rungs carried across batches
+        self._block_width_hint: int | None = None
         if write_archive_header:
             self._f.write(archive.build_archive_header(sample_rate, self.params))
 
@@ -76,9 +77,12 @@ class StreamEncoder:
             engine=self.engine,
             batch_frames=self.batch_frames,
             width_hint=self._width_hint,
+            block_width_hint=self._block_width_hint,
         )
         if res.width_used is not None:
             self._width_hint = res.width_used
+        if res.block_width_used is not None:
+            self._block_width_hint = res.block_width_used
         self._stats += res.stats
         self._nbytes += len(res.data)
         self._f.write(res.data)
