@@ -127,6 +127,12 @@ def main():
         return pb.reshape(w.shape[0], -1), o["nbytes"]  # nbytes kept for debugging
 
     dev_payload, dev_plens = make_payload(dec_frames_in, dec_nvalid)
+    # Decode at the compact width rung the file pipeline would pick (lens
+    # are known before decode; decode_frames infers W from the buffer).
+    dec_w = next(
+        r for r in width_rungs(params) if int(np.asarray(dev_plens).max(initial=0)) <= r * 4
+    )
+    dev_payload = jax.jit(lambda p: p[:, : dec_w * 4])(dev_payload)
     jax.block_until_ready(dev_payload)
     comp_mb = float(np.asarray(encode_frames(dev_frames, dev_nvalid, params)["nbytes"]).sum()) / 1e6
     dec_mb = dec_batch * spf * 2 / 1e6
@@ -196,6 +202,7 @@ def main():
         "batch_frames": batch_frames,
         "encode_width_rung": w_rung,
         "encode_block_width_rung": nw_rung,
+        "decode_width_rung": dec_w,
         "input_mb": round(in_mb, 1),
         "compressed_mb": round(comp_mb, 2),
         "platform": jax.devices()[0].platform,

@@ -50,7 +50,7 @@ def test_pallas_crc_kernel_interpret(rng):
         w = 8
         words = rng.integers(0, 1 << 32, (4, w), dtype=np.uint64).astype(np.uint32)
         m, const_init, inv = crc_matmul_consts(w * 4)
-        mk = cp.permute_m_rows(m, w)
+        mk = np.ascontiguousarray(cp.permute_m_rows(m, w).T)  # transposed operand
         planes = np.asarray(cp.crc_planes_pallas(jnp.asarray(words), jnp.asarray(mk), w, True)) & 1
         lens = jnp.asarray(np.full(4, w * 4, np.int32))
         got = np.asarray(_crc16_finish(jnp.asarray(planes), lens, const_init, inv, w * 4))

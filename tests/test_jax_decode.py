@@ -103,3 +103,38 @@ def test_decode_frames_checked_crc(rng):
     assert crc[0] == want_crc == crc16(payload)
     assert crc[1] == crc16(bytes(bad)) != want_crc
     np.testing.assert_array_equal(np.asarray(out)[0], wav)
+
+
+def test_decode_width_rung_independent(rng):
+    """decode_frames infers W from the buffer shape; a compact rung must
+    give identical samples, error codes, and device CRCs to the full
+    width — on clean AND corrupt payloads (overrun verdicts are pinned to
+    the format's worst-case width, not the buffer width)."""
+    from x3_tpu.ops.decode_kernel import decode_frames_checked
+    from x3_tpu.ops.encode_kernel import frame_geometry, width_rungs
+
+    S, B, L, W = frame_geometry(P)
+    rungs = width_rungs(P)
+    assert rungs[0] < W
+    wav = make_hydrophone(rng, 20_000)
+    frames = frames_of(wav)
+    payloads = [np.frombuffer(p, np.uint8) for p, _ in frames]
+    # corrupt lane: bit flips deep in the stream (drives the walk off
+    # course without breaking the raw first sample)
+    bad = payloads[1].copy()
+    bad[50:60] ^= 0xFF
+    payloads.append(bad)
+    ns = np.array([s for _, s in frames] + [frames[1][1]], np.int32)
+    plens = np.array([len(a) for a in payloads], np.int32)
+
+    def run(w):
+        buf = np.zeros((len(payloads), w * 4), np.uint8)
+        for i, a in enumerate(payloads):
+            buf[i, : len(a)] = a
+        return decode_frames_checked(buf, ns, plens, P)
+
+    out_c, err_c, crc_c = run(rungs[0])
+    out_f, err_f, crc_f = run(W)
+    np.testing.assert_array_equal(np.asarray(out_c), np.asarray(out_f))
+    np.testing.assert_array_equal(np.asarray(err_c), np.asarray(err_f))
+    np.testing.assert_array_equal(np.asarray(crc_c), np.asarray(crc_f))

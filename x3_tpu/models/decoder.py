@@ -27,25 +27,34 @@ def decode_frames_batch(payloads, n_samples, params: Parameters | None = None, c
     CRCs are verified ON DEVICE (fused MXU matmul) and mismatches are
     reported as a third return value (crc_ok bool array)."""
     from ..ops.decode_kernel import ERR_OVERRUN, decode_frames, decode_frames_checked
-    from ..ops.encode_kernel import frame_geometry
+    from ..ops.encode_kernel import frame_geometry, width_rungs
 
     params = params or Parameters()
     S, B, L, W = frame_geometry(params)
     f = len(payloads)
     if f == 0:
         return ([], np.zeros(0, np.int32)) if check_crcs is None else ([], np.zeros(0, np.int32), np.zeros(0, bool))
-    buf = np.zeros((f, W * 4), dtype=np.uint8)
-    ns = np.zeros(f, dtype=np.int32)
-    plens = np.zeros(f, dtype=np.int32)
     # A CRC-valid but foreign/corrupt header may claim payload_len up to
     # 0x7fe0 > W*4: flag such frames as overruns instead of crashing the
     # whole batch (they cannot decode to n_samples within W words anyway).
     oversized = np.zeros(f, dtype=bool)
+    arrs = []
     for i, (p, n) in enumerate(zip(payloads, n_samples)):
         arr = np.frombuffer(p, dtype=np.uint8)
         if len(arr) > W * 4 or n > S:
             oversized[i] = True
             arr = arr[: W * 4]
+        arrs.append(arr)
+    # Payload lengths are known before decode, so the batch can run at a
+    # compact width specialization (same rung ladder as encode to keep the
+    # compile cache bounded); decode_frames infers the width from the
+    # buffer shape and its semantics are width-independent.
+    maxlen = max(len(a) for a in arrs)
+    w = next(r for r in width_rungs(params) if maxlen <= r * 4)
+    buf = np.zeros((f, w * 4), dtype=np.uint8)
+    ns = np.zeros(f, dtype=np.int32)
+    plens = np.zeros(f, dtype=np.int32)
+    for i, (arr, n) in enumerate(zip(arrs, n_samples)):
         buf[i, : len(arr)] = arr
         ns[i] = min(n, S)
         plens[i] = len(arr)

@@ -86,7 +86,7 @@ def decode_streams(
     params, each group decoded with its own frame geometry.  Returns list of
     (samples int16 array, sample_rate).  Raises on CRC mismatch or frame
     decode failure (reference behavior, mapped to the matching error class)."""
-    from .ops.encode_kernel import frame_geometry
+    from .ops.encode_kernel import frame_geometry, width_rungs
     from .ops.decode_kernel import decode_frames
     from .errors import decode_error
 
@@ -116,11 +116,19 @@ def decode_streams(
         S, B, L, W = frame_geometry(params)
         for base in range(0, len(work), batch_frames):
             chunk = work[base : base + batch_frames]
-            buf = np.zeros((batch_frames, W * 4), dtype=np.uint8)
+            # Compact width rung: lens are known up front (see
+            # models/decoder.decode_frames_batch).
+            maxlen = max((len(p) for _, _, p, _ in chunk), default=0)
+            rungs = width_rungs(params)
+            w = next((r for r in rungs if maxlen <= r * 4), rungs[-1])
+            buf = np.zeros((batch_frames, w * 4), dtype=np.uint8)
             ns = np.zeros(batch_frames, dtype=np.int32)
             plens = np.zeros(batch_frames, dtype=np.int32)
             for i, (ai, fi, payload, n) in enumerate(chunk):
-                arr = np.frombuffer(payload, dtype=np.uint8)
+                # A crafted header may claim more bytes than any rung holds
+                # (Frame::MAX_LENGTH 0x7fe0 > W*4); truncate and let the
+                # kernel flag the frame instead of crashing the batch.
+                arr = np.frombuffer(payload, dtype=np.uint8)[: w * 4]
                 buf[i, : len(arr)] = arr
                 ns[i] = n
                 plens[i] = len(arr)

@@ -111,11 +111,12 @@ def crc_matmul_consts(n_bytes: int):
 @functools.lru_cache(maxsize=8)
 def _crc_consts_kmajor(n_words: int):
     """crc_matmul_consts with M rows permuted to the Pallas kernel's
-    k-major bit-plane order."""
+    k-major bit-plane order and TRANSPOSED to [16, n_bits] (the transposed
+    operand avoids 8x lane padding in VMEM — see crc_planes_pallas)."""
     from .crc_pallas import permute_m_rows
 
     m, const_init, inv_pows = crc_matmul_consts(n_words * 4)
-    return permute_m_rows(m, n_words), const_init, inv_pows
+    return np.ascontiguousarray(permute_m_rows(m, n_words).T), const_init, inv_pows
 
 
 def crc16_padded_jax(byte_rows, lengths, n_bytes: int):

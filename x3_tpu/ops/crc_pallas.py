@@ -44,11 +44,16 @@ def permute_m_rows(m: np.ndarray, n_words: int) -> np.ndarray:
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
-def crc_planes_pallas(words, m_kmajor, n_words: int, interpret: bool = False):
+def crc_planes_pallas(words, m_kmajor_t, n_words: int, interpret: bool = False):
     """Sum_i bits(words)[i] * M[i] -> int32 plane sums [F, 16].
 
     words: uint32 [F, n_words] (F a multiple of F_TILE, n_words of CW)
-    m_kmajor: int8 [n_words*32, 16], rows permuted by permute_m_rows
+    m_kmajor_t: int8 [16, n_words*32] — M TRANSPOSED, rows permuted by
+        permute_m_rows before the transpose.  The transposed layout is
+        load-bearing: a [n_words*32, 16] operand gets its 16-lane minor dim
+        padded to 128 in VMEM (8x inflation — 21 MB at the worst-case
+        width, over the 16 MB scoped limit), while [16, n_words*32] keeps
+        the long dim on lanes and stays at its true 2.6 MB.
     """
     from jax.experimental import pallas as pl
 
@@ -60,24 +65,31 @@ def crc_planes_pallas(words, m_kmajor, n_words: int, interpret: bool = False):
     def kernel(words_ref, m_ref, out_ref):
         # k-major bit planes: plane k holds bit (31-k... see shift) of every word.
         shifts = (31 - jax.lax.broadcasted_iota(jnp.uint32, (1, 32, 1), 1)).astype(jnp.uint32)
-        acc = jnp.zeros((F_TILE, 16), jnp.int32)
-        for c in range(n_chunks):
-            wtile = words_ref[:, c * CW : (c + 1) * CW]  # [F_TILE, CW] uint32
+
+        # fori_loop (not a python unroll): Mosaic allocates the per-chunk
+        # `bits` temporary on the kernel stack PER UNROLLED ITERATION, so an
+        # unrolled loop at the worst-case width (n_chunks=40) costs tens of
+        # MB of scoped VMEM; the loop body's stack is reused.  Integer sums
+        # of 0/1 products are order-independent, so exactness holds.
+        def body(c, acc):
+            wtile = words_ref[:, pl.ds(c * CW, CW)]  # [F_TILE, CW] uint32
             bits = ((wtile[:, None, :] >> shifts) & 1).astype(jnp.int8)
             bits = bits.reshape(F_TILE, 32 * CW)  # minor dim stays CW lanes
-            acc = acc + jnp.dot(
-                bits, m_ref[c * CW * 32 : (c + 1) * CW * 32, :], preferred_element_type=jnp.int32
+            mchunk = m_ref[:, pl.ds(c * (CW * 32), CW * 32)]  # [16, CW*32]
+            return acc + jax.lax.dot_general(
+                bits, mchunk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
             )
-        out_ref[:, :] = acc
+
+        out_ref[:, :] = jax.lax.fori_loop(0, n_chunks, body, jnp.zeros((F_TILE, 16), jnp.int32))
 
     return pl.pallas_call(
         kernel,
         grid=(F // F_TILE,),
         in_specs=[
             pl.BlockSpec((F_TILE, W), lambda i: (i, 0)),
-            pl.BlockSpec((W * 32, 16), lambda i: (0, 0)),  # resident across steps
+            pl.BlockSpec((16, W * 32), lambda i: (0, 0)),  # resident across steps
         ],
         out_specs=pl.BlockSpec((F_TILE, 16), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((F, 16), jnp.int32),
         interpret=interpret,
-    )(words, m_kmajor)
+    )(words, m_kmajor_t)
