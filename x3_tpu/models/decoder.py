@@ -51,21 +51,25 @@ def decode_frames_batch(payloads, n_samples, params: Parameters | None = None, c
     # buffer shape and its semantics are width-independent.
     maxlen = max(len(a) for a in arrs)
     w = next(r for r in width_rungs(params) if maxlen <= r * 4)
-    buf = np.zeros((f, w * 4), dtype=np.uint8)
-    ns = np.zeros(f, dtype=np.int32)
-    plens = np.zeros(f, dtype=np.int32)
+    # Pad the lane count to a power-of-two bucket: batch tails vary per
+    # file, and each distinct (F, W) shape is a fresh 20-40 s TPU compile.
+    # Dummy lanes (n_samples=0, zero payload) decode to nothing by design.
+    fp = 1 << max(0, (f - 1).bit_length())
+    buf = np.zeros((fp, w * 4), dtype=np.uint8)
+    ns = np.zeros(fp, dtype=np.int32)
+    plens = np.zeros(fp, dtype=np.int32)
     for i, (arr, n) in enumerate(zip(arrs, n_samples)):
         buf[i, : len(arr)] = arr
         ns[i] = min(n, S)
         plens[i] = len(arr)
     if check_crcs is not None:
         out, err, crc = decode_frames_checked(buf, ns, plens, params)
-        crc_ok = np.asarray(crc) == np.asarray(check_crcs, dtype=np.int64)
+        crc_ok = np.asarray(crc)[:f] == np.asarray(check_crcs, dtype=np.int64)
         crc_ok = crc_ok & ~oversized  # truncated lane CRCs are meaningless
     else:
         out, err = decode_frames(buf, ns, plens, params)
-    out = np.asarray(out)
-    err = np.where(oversized, ERR_OVERRUN, np.asarray(err))
+    out = np.asarray(out)[:f]
+    err = np.where(oversized, ERR_OVERRUN, np.asarray(err)[:f])
     outs = [out[i, : ns[i]].copy() for i in range(f)]
     return (outs, err) if check_crcs is None else (outs, err, crc_ok)
 
