@@ -23,8 +23,12 @@ def capture_chunks(total, chunk, rng):
 
 
 def main():
+    import tempfile
+    from pathlib import Path
+
     rng = np.random.default_rng(1)
-    with StreamEncoder("capture.x3a", sample_rate=96_000) as enc:
+    out = Path(tempfile.mkdtemp(prefix="x3_example_")) / "capture.x3a"
+    with StreamEncoder(out, sample_rate=96_000) as enc:
         for chunk in capture_chunks(total=1_000_000, chunk=48_000, rng=rng):
             enc.write(chunk)  # memory stays bounded by the batch size
         stats = enc.close().stats
