@@ -85,7 +85,9 @@ def main():
     reps = int(os.environ.get("X3_BENCH_REPS", "50"))
     # Decode's chunked kernel amortizes its fixed per-step cost over wide
     # batches — its sweet spot (F=2048) is wider than encode's.
-    dec_batch = int(os.environ.get("X3_BENCH_DECODE_BATCH", "2048"))
+    # Decode's fixed scan-step cost amortizes with width up to F=6144
+    # (7.2 GB/s vs 6.7 at 2048; falls off at 8192 — VMEM/HBM cliff).
+    dec_batch = int(os.environ.get("X3_BENCH_DECODE_BATCH", "6144"))
     wav = make_corpus(max(batch_frames, dec_batch), spf)
     in_mb = batch_frames * spf * 2 / 1e6
 

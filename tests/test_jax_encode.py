@@ -300,3 +300,24 @@ def test_adaptive_block_width_escalates_and_matches_oracle(rng):
     got = encode(wav, P, engine="jax", batch_frames=2)
     assert got.data == want
     assert got.block_width_used is not None
+
+
+def test_subbatched_wide_encode_matches_monolithic(rng):
+    """Batches past the VMEM-residency threshold are chunked into 768-frame
+    sub-batches inside the jit; outputs must equal the monolithic trace."""
+    import jax
+
+    from x3_tpu.ops import encode_kernel as ek
+
+    tiny = Parameters(block_len=4, blocks_per_frame=8)
+    spf = tiny.samples_per_frame
+    F = 1100  # > _SUBBATCH_THRESHOLD, non-multiple of _SUBBATCH
+    wav = make_hydrophone(rng, F * spf).reshape(F, spf)
+    nv = np.full(F, spf, np.int32)
+    nv[-1] = 5
+    mono = jax.jit(
+        lambda s, n: ek._encode_frames_body(s, n, tiny, "block", None, None)
+    )(wav, nv)
+    sub = ek.encode_frames(wav, nv, tiny)
+    for k in mono:
+        np.testing.assert_array_equal(np.asarray(sub[k]), np.asarray(mono[k]), err_msg=k)

@@ -397,9 +397,21 @@ def _merge_mxu(buf4, block_off, F, B, W, NW, NB4, GR=8):
     return words
 
 
+# Sub-batch geometry for wide batches: XLA keeps the level-1 pack's
+# [F, B]-shaped intermediates VMEM-resident up to roughly F=1024 (profiled
+# S(1) placements); beyond that they spill to HBM and throughput falls off
+# a cliff (F=1536 monolithic: 7.6 GB/s vs 10.2 GB/s as 2x768 sub-batches
+# inside ONE jitted program, measured v5e).  Wide batches are therefore
+# chunked at trace time — callers keep a single dispatch and a single
+# output pytree.
+_SUBBATCH = 768
+_SUBBATCH_THRESHOLD = 1024
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def encode_frames(samples: jax.Array, n_valid: jax.Array, params: Parameters, pack_mode: str = "block", w_words: int | None = None, nw_words: int | None = None):
-    """Encode a batch of frames.
+    """Encode a batch of frames (batches > 1024 frames are processed as
+    768-frame sub-batches inside the jitted program; see _SUBBATCH).
 
     samples: int16/int32 [F, S] (payload samples, zero-padded past n_valid)
     n_valid: int32 [F] — number of valid samples per frame (0 = dummy frame)
@@ -422,6 +434,19 @@ def encode_frames(samples: jax.Array, n_valid: jax.Array, params: Parameters, pa
       stats:    int32 [F, 6] — per-frame code-usage sample counts
       blockfit_bits: int32 [F] — max block r2+bits (block-rung escalation)
     """
+    F = samples.shape[0]
+    if F > _SUBBATCH_THRESHOLD:
+        outs = [
+            _encode_frames_body(
+                samples[b : b + _SUBBATCH], n_valid[b : b + _SUBBATCH], params, pack_mode, w_words, nw_words
+            )
+            for b in range(0, F, _SUBBATCH)
+        ]
+        return {k: jnp.concatenate([o[k] for o in outs], axis=0) for k in outs[0]}
+    return _encode_frames_body(samples, n_valid, params, pack_mode, w_words, nw_words)
+
+
+def _encode_frames_body(samples, n_valid, params: Parameters, pack_mode, w_words, nw_words):
     S, B, L, W = frame_geometry(params)
     if w_words is not None:
         W = min(W, w_words)
