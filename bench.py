@@ -44,6 +44,30 @@ def make_corpus(n_frames: int, spf: int, seed: int = 7) -> np.ndarray:
     return np.clip(np.round(slow + noise), -32768, 32767).astype(np.int16)
 
 
+def make_class_corpus(name: str, n_frames: int, spf: int, seed: int = 7) -> np.ndarray:
+    """Synthetic corpora spanning the reference's benchmark spectrum
+    (/root/reference/test/timings.csv): 'music' ~1.3x (wideband, BFP-heavy,
+    full-width rungs), 'hydrophone' ~2.9x (the headline class), 'pi240'
+    ~7x (very compressible, short Rice codes — timings.csv:13 class)."""
+    rng = np.random.default_rng(seed)
+    n = n_frames * spf
+    if name == "hydrophone":
+        return make_corpus(n_frames, spf, seed)
+    if name == "music":
+        # Wideband program material: tonal base + strong broadband noise,
+        # diffs ~11-12 bits -> mostly BFP blocks like real music (1.33x).
+        t = np.arange(n, dtype=np.float64)
+        tone = 9000.0 * np.sin(2 * np.pi * t / 97.0) + 5000.0 * np.sin(2 * np.pi * t / 23.0)
+        noise = rng.normal(0.0, 1200.0, n)
+        return np.clip(np.round(tone + noise), -32768, 32767).astype(np.int16)
+    if name == "pi240":
+        # Very quiet sensor floor: tiny first differences (mostly 0/±1),
+        # Rice-0/1 codes a few bits long.
+        d = np.round(rng.normal(0.0, 0.45, n)).astype(np.int64)
+        return np.clip(np.cumsum(d), -30000, 30000).astype(np.int16)
+    raise ValueError(name)
+
+
 def timed(fn, args, reps: int) -> float:
     int(fn(*args))  # compile + warm
     t0 = time.perf_counter()
@@ -88,70 +112,99 @@ def main():
     # Decode's fixed scan-step cost amortizes with width up to F=6144
     # (7.2 GB/s vs 6.7 at 2048; falls off at 8192 — VMEM/HBM cliff).
     dec_batch = int(os.environ.get("X3_BENCH_DECODE_BATCH", "6144"))
-    wav = make_corpus(max(batch_frames, dec_batch), spf)
+
+    def bench_class(wav: np.ndarray):
+        """Device encode + decode MB/s for one corpus at its adaptive
+        rungs (the specialization models/encoder.py steady-states on)."""
+        frames = wav.reshape(-1, spf)
+        n_valid = np.full(len(frames), spf, np.int32)
+        dev_frames = jax.device_put(frames[:batch_frames])
+        dev_nvalid = jax.device_put(n_valid[:batch_frames])
+        in_mb = batch_frames * spf * 2 / 1e6
+
+        # --- device encode (input-resident, scalar-synced) ---
+        probe = encode_frames(dev_frames, dev_nvalid, params)
+        probe_nbytes = np.asarray(probe["nbytes"])
+        probe_blockfit = np.asarray(probe["blockfit_bits"])
+        w_rung = next(w for w in width_rungs(params) if fits_width(probe_nbytes, w, params))
+        nw_rung = next(
+            nw for nw in block_width_rungs(params) if fits_block_width(probe_blockfit, nw, params)
+        )
+        enc_sync = jax.jit(
+            lambda s, n: (
+                lambda o: jnp.sum(o["crc"]) + jnp.sum(o["total_bits"]) + jnp.sum(o["payload_words"].astype(jnp.int32))
+            )(encode_frames(s, n, params, "block", w_rung, nw_rung))
+        )
+        dev_encode_mbs = in_mb / timed(enc_sync, (dev_frames, dev_nvalid), reps)
+
+        # --- device decode (payload bytes are produced on-device so the
+        #     tunnel's slow D2H path never enters the measurement) ---
+        dec_frames_in = jax.device_put(frames[:dec_batch])
+        dec_nvalid = jax.device_put(n_valid[:dec_batch])
+
+        @jax.jit
+        def make_payload(s, n):
+            o = encode_frames(s, n, params)
+            w = o["payload_words"]
+            shifts = jnp.asarray([24, 16, 8, 0], dtype=jnp.uint32)
+            pb = ((w[:, :, None] >> shifts[None, None, :]) & 0xFF).astype(jnp.uint8)
+            return pb.reshape(w.shape[0], -1), o["nbytes"]  # nbytes kept for debugging
+
+        dev_payload, dev_plens = make_payload(dec_frames_in, dec_nvalid)
+        # Decode at the compact width rung the file pipeline would pick
+        # (lens are known before decode; decode_frames infers W from the
+        # buffer).
+        dec_w = next(
+            r for r in width_rungs(params) if int(np.asarray(dev_plens).max(initial=0)) <= r * 4
+        )
+        dev_payload = jax.jit(lambda p: p[:, : dec_w * 4])(dev_payload)
+        jax.block_until_ready(dev_payload)
+        comp_mb = float(np.asarray(probe["nbytes"]).sum()) / 1e6
+        dec_mb = dec_batch * spf * 2 / 1e6
+        dec_sync = jax.jit(
+            lambda pb, n, pl: (lambda de: jnp.sum(de[0].astype(jnp.int32)) + de[1].sum())(
+                decode_frames(pb, n, pl, params)
+            )
+        )
+        dev_decode_mbs = dec_mb / timed(dec_sync, (dev_payload, dec_nvalid, dev_plens), reps)
+
+        # --- decode correctness on the bench corpus (compared on device) ---
+        @jax.jit
+        def check(pb, n, pl, s):
+            de, err = decode_frames(pb, n, pl, params)
+            return jnp.all(de == s) & ~err.any()
+
+        decode_exact = bool(check(dev_payload, dec_nvalid, dev_plens, dec_frames_in))
+        ratio = in_mb / (float(probe_nbytes.sum()) / 1e6)
+        return {
+            "encode_mbs": round(dev_encode_mbs, 1),
+            "decode_mbs": round(dev_decode_mbs, 1),
+            "ratio": round(ratio, 2),
+            "decode_exact": decode_exact,
+            "width_rung": w_rung,
+            "block_width_rung": nw_rung,
+            "decode_width_rung": dec_w,
+            "compressed_mb": round(comp_mb, 2),
+        }
+
+    n_corpus_frames = max(batch_frames, dec_batch)
+    wav = make_class_corpus("hydrophone", n_corpus_frames, spf)
     in_mb = batch_frames * spf * 2 / 1e6
 
-    frames = wav.reshape(-1, spf)
-    n_valid = np.full(len(frames), spf, np.int32)
-    dev_frames = jax.device_put(frames[:batch_frames])
-    dev_nvalid = jax.device_put(n_valid[:batch_frames])
+    # Per-class spread across the reference's benchmark spectrum
+    # (timings.csv holds 78-90 MB/s encode across ALL classes; the device
+    # pipeline must state its own spread just as honestly).
+    classes = {}
+    for cname in ("hydrophone", "music", "pi240"):
+        cwav = wav if cname == "hydrophone" else make_class_corpus(cname, n_corpus_frames, spf)
+        classes[cname] = bench_class(cwav)
 
-    # --- device encode (input-resident, scalar-synced) ---
-    # Measure at the adaptive width rung this corpus steady-states on — the
-    # same specialization models/encoder.py dispatches after its first
-    # batch (worst-case-width fallback still exists for incompressible
-    # input; see width_rungs/fits_width).
-    probe = encode_frames(dev_frames, dev_nvalid, params)
-    probe_nbytes = np.asarray(probe["nbytes"])
-    probe_blockfit = np.asarray(probe["blockfit_bits"])
-    w_rung = next(w for w in width_rungs(params) if fits_width(probe_nbytes, w, params))
-    nw_rung = next(
-        nw for nw in block_width_rungs(params) if fits_block_width(probe_blockfit, nw, params)
-    )
-    enc_sync = jax.jit(
-        lambda s, n: (
-            lambda o: jnp.sum(o["crc"]) + jnp.sum(o["total_bits"]) + jnp.sum(o["payload_words"].astype(jnp.int32))
-        )(encode_frames(s, n, params, "block", w_rung, nw_rung))
-    )
-    dev_encode_mbs = in_mb / timed(enc_sync, (dev_frames, dev_nvalid), reps)
-
-    # --- device decode (payload bytes are produced on-device so the
-    #     tunnel's slow D2H path never enters the measurement) ---
-    dec_frames_in = jax.device_put(frames[:dec_batch])
-    dec_nvalid = jax.device_put(n_valid[:dec_batch])
-
-    @jax.jit
-    def make_payload(s, n):
-        o = encode_frames(s, n, params)
-        w = o["payload_words"]
-        shifts = jnp.asarray([24, 16, 8, 0], dtype=jnp.uint32)
-        pb = ((w[:, :, None] >> shifts[None, None, :]) & 0xFF).astype(jnp.uint8)
-        return pb.reshape(w.shape[0], -1), o["nbytes"]  # nbytes kept for debugging
-
-    dev_payload, dev_plens = make_payload(dec_frames_in, dec_nvalid)
-    # Decode at the compact width rung the file pipeline would pick (lens
-    # are known before decode; decode_frames infers W from the buffer).
-    dec_w = next(
-        r for r in width_rungs(params) if int(np.asarray(dev_plens).max(initial=0)) <= r * 4
-    )
-    dev_payload = jax.jit(lambda p: p[:, : dec_w * 4])(dev_payload)
-    jax.block_until_ready(dev_payload)
-    comp_mb = float(np.asarray(encode_frames(dev_frames, dev_nvalid, params)["nbytes"]).sum()) / 1e6
-    dec_mb = dec_batch * spf * 2 / 1e6
-    dec_sync = jax.jit(
-        lambda pb, n, pl: (lambda de: jnp.sum(de[0].astype(jnp.int32)) + de[1].sum())(
-            decode_frames(pb, n, pl, params)
-        )
-    )
-    dev_decode_mbs = dec_mb / timed(dec_sync, (dev_payload, dec_nvalid, dev_plens), reps)
-
-    # --- decode correctness on the bench corpus (compared on device) ---
-    @jax.jit
-    def check(pb, n, pl, s):
-        de, err = decode_frames(pb, n, pl, params)
-        return jnp.all(de == s) & ~err.any()
-
-    decode_exact = bool(check(dev_payload, dec_nvalid, dev_plens, dec_frames_in))
+    hydro = classes["hydrophone"]
+    dev_encode_mbs = hydro["encode_mbs"]
+    dev_decode_mbs = hydro["decode_mbs"]
+    decode_exact = hydro["decode_exact"]
+    w_rung, nw_rung, dec_w = hydro["width_rung"], hydro["block_width_rung"], hydro["decode_width_rung"]
+    comp_mb = hydro["compressed_mb"]
 
     # --- end-to-end jax encode (host framing + transfers + assembly) ---
     e2e_mb = wav.nbytes / 1e6
@@ -207,6 +260,7 @@ def main():
         "decode_width_rung": dec_w,
         "input_mb": round(in_mb, 1),
         "compressed_mb": round(comp_mb, 2),
+        "classes": classes,
         "platform": jax.devices()[0].platform,
     }))
 

@@ -4,6 +4,7 @@ pytest) + structured per-block-type bitstream mutation fuzz.
 One command runs the full gate: `python -m pytest tests/test_corpus_gate.py`.
 Failures reproduce from the printed seed."""
 
+import os
 import subprocess
 import sys
 
@@ -132,6 +133,19 @@ def test_differential_fuzz_campaign():
     from fuzz_differential import run_campaign
 
     assert run_campaign(trials=21, seed=0xD1FF) == 0
+
+
+@pytest.mark.slow
+def test_differential_fuzz_soak():
+    """Long soak of the same campaign (reproduces from the printed seed).
+    X3_FUZZ_SOAK_TRIALS overrides the count (>=1000 for a full soak run;
+    the CI default keeps suite time bounded while still cycling every
+    geometry x signal class pair many times)."""
+    sys.path.insert(0, str(REPO_ROOT / "tools"))
+    from fuzz_differential import run_campaign
+
+    trials = int(os.environ.get("X3_FUZZ_SOAK_TRIALS", "180"))
+    assert run_campaign(trials=trials, seed=0x50AC) == 0
 
 
 def test_header_field_mutation_fuzz(tmp_path):

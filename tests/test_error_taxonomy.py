@@ -92,25 +92,35 @@ def test_first_error_wins(rng):
     assert errs[0] == ERR_INVALID_BPF
 
 
-def test_oversized_payload_is_flagged_not_crash():
-    """A CRC-valid but foreign header may claim payload_len up to 0x7fe0 >
-    the pipeline's buffer: must flag a per-frame error, not crash."""
-    from x3_tpu.ops.decode_kernel import ERR_OVERRUN
+def test_oversized_payload_same_class_across_engines():
+    """A payload longer than the default-geometry worst case (up to the
+    format's 0x7fe0 cap) must not crash the pipeline OR diverge from the
+    reference: an all-zero payload decodes to the same invalid-BFP error on
+    every engine (a zero block header is ftype 0, num_bits=1 <= 5,
+    decoder.rs:209-212) — the buffer escalates to hold the whole payload
+    (models/decoder.decode_geometry)."""
     from x3_tpu.ops.encode_kernel import frame_geometry
 
     S, B, L, W = frame_geometry(P)
     big = bytes(W * 4 + 1000)
-    outs, errs = decode_frames_batch([big], [S], P)
-    assert errs[0] == ERR_OVERRUN
-    with pytest.raises(FrameDecodeUnexpectedEnd):
-        decode_frame(big, P, S)
+    with pytest.raises(FrameDecodeInvalidBPF):
+        oracle.decode_frame(big, P, S)
+    for engine in ("jax", "numpy"):
+        with pytest.raises(FrameDecodeInvalidBPF):
+            decode_frame(big, P, S, engine=engine)
 
 
-def test_excess_sample_count_is_flagged():
-    from x3_tpu.ops.decode_kernel import ERR_OVERRUN
+def test_excess_sample_count_decodes_like_reference():
+    """Headers may claim more samples than params.samples_per_frame
+    (blocks_per_frame is not in the archive XML, decodefile.rs:295-300);
+    the decode walk follows the header count, so this payload hits the
+    same invalid-BFP error as the reference, not a geometry clamp."""
+    from x3_tpu.ops.decode_kernel import ERR_INVALID_BPF
     from x3_tpu.ops.encode_kernel import frame_geometry
 
     S, B, L, W = frame_geometry(P)
     payload = _payload_invalid_bfp()
+    with pytest.raises(FrameDecodeInvalidBPF):
+        oracle.decode_frame(payload, P, S + 999)
     outs, errs = decode_frames_batch([payload], [S + 999], P)
-    assert errs[0] == ERR_OVERRUN
+    assert errs[0] == ERR_INVALID_BPF

@@ -37,6 +37,22 @@ from .params import Parameters, X3aSpec
 from .utils.wav import WavWriter
 
 DEFAULT_BATCH_FRAMES = 256
+# Measured jax-engine sweet spots (v5e, ROADMAP.md): device encode peaks at
+# F=768; device decode reaches ~88% of its F=6144 peak already at F=2048 at
+# a third of the working memory (~41 MB of decoded samples per batch), so
+# the file paths default to these when the engine resolves to jax instead
+# of a flat 256 (which leaves ~10x device throughput on the table).
+JAX_ENCODE_BATCH_FRAMES = 768
+JAX_DECODE_BATCH_FRAMES = 2048
+
+
+def resolve_batch_frames(batch_frames: int | None, engine: str, decode: bool) -> int:
+    """Engine-shaped default batch size (None = pick for the engine)."""
+    if batch_frames is not None:
+        return batch_frames
+    if engine == "jax":
+        return JAX_DECODE_BATCH_FRAMES if decode else JAX_ENCODE_BATCH_FRAMES
+    return DEFAULT_BATCH_FRAMES
 
 
 def wav_to_x3a(
@@ -45,7 +61,7 @@ def wav_to_x3a(
     params: Parameters | None = None,
     engine: str = "auto",
     verbose: bool = False,
-    batch_frames: int = DEFAULT_BATCH_FRAMES,
+    batch_frames: int | None = None,
 ) -> EncodeResult:
     """Convert a mono 16-bit .wav file to an .x3a archive
     (parity: encodefile.rs:48-77).  Bounded memory: the WAV is read and
@@ -54,6 +70,7 @@ def wav_to_x3a(
     from .streaming import StreamEncoder
 
     engine = resolve_engine(engine)
+    batch_frames = resolve_batch_frames(batch_frames, engine, decode=False)
     params = params or Parameters()
     with wave.open(str(wav_filename), "rb") as w:
         if w.getsampwidth() != 2:
@@ -171,7 +188,7 @@ def x3a_to_wav(
     engine: str = "auto",
     verbose: bool = False,
     resync: bool = False,
-    batch_frames: int = DEFAULT_BATCH_FRAMES,
+    batch_frames: int | None = None,
 ) -> int:
     """Convert an .x3a archive back to a .wav file
     (parity: decodefile.rs:189-212).  Returns the number of frame errors.
@@ -180,6 +197,7 @@ def x3a_to_wav(
     at a time into an incrementally-written WAV, so peak memory is bounded by
     batch_frames regardless of archive size (decodefile.rs:44-45)."""
     engine = resolve_engine(engine)
+    batch_frames = resolve_batch_frames(batch_frames, engine, decode=True)
     frame_errors = 0
     with open(x3a_filename, "rb") as f:
         spec, header_size = archive.read_archive_header_file(f)
@@ -226,13 +244,13 @@ class X3aReader:
     Holds only the header index (20 B/frame) and the current decoded batch
     in memory; payloads are read with seeks per batch."""
 
-    def __init__(self, filename, engine: str = "auto", batch_frames: int = DEFAULT_BATCH_FRAMES):
+    def __init__(self, filename, engine: str = "auto", batch_frames: int | None = None):
         self._f = open(filename, "rb")
         self._spec, header_size = archive.read_archive_header_file(self._f)
         self._index = list(archive.walk_frames_file(self._f, header_size))
         self._cursor = 0
         self._engine = resolve_engine(engine)
-        self._batch_frames = batch_frames
+        self._batch_frames = resolve_batch_frames(batch_frames, self._engine, decode=True)
         self._cache: dict[int, np.ndarray | None] = {}
         self.frame_errors = 0
         self._stopped = False
@@ -278,7 +296,11 @@ class X3aReader:
         if i not in self._cache:
             base = (i // self._batch_frames) * self._batch_frames
             self._decode_batch(base)
-        out = self._cache.pop(i)
+        # Keep the entry resident (the cache is replaced wholesale at the
+        # next batch, so memory stays O(batch_frames)): popping here made
+        # decode_next_frame/decode_frame_at interleavings re-decode the
+        # whole batch per frame.
+        out = self._cache[i]
         if out is None:
             self.frame_errors += 1
             print(f"Frame error: frame {i} failed to decode")
@@ -329,7 +351,13 @@ class X3aReader:
                 self._decode_batch(base)
             except X3Error:
                 # another frame in the batch may have raised (e.g. its
-                # payload CRC): decode just frame i
+                # payload CRC): decode just frame i.  The batch raised
+                # before it could reset the cache, so drop entries from the
+                # previous batch first — otherwise a sweep over an archive
+                # with one bad frame per batch accretes one entry per good
+                # frame, breaking the bounded-memory invariant
+                # (tests/test_bounded_memory.py).
+                self._cache = {}
                 self._decode_single(i)
         out = self._cache.get(i)
         if out is None:

@@ -13,17 +13,20 @@ import numpy as np
 
 from . import archive
 from .errors import FrameHeaderInvalidPayloadCRC
+from .files import JAX_DECODE_BATCH_FRAMES, JAX_ENCODE_BATCH_FRAMES
 from .models.encoder import EncodeResult, build_frame_headers
 from .params import Parameters
-from .utils.wav import read_wav, write_wav
+from .utils.wav import read_wav
 
+# The batch APIs run the jax pipelines; default to the measured device
+# sweet spots (see files.resolve_batch_frames).
 DEFAULT_BATCH_FRAMES = 256
 
 
 def encode_streams(
     streams,
     params: Parameters | None = None,
-    batch_frames: int = DEFAULT_BATCH_FRAMES,
+    batch_frames: int | None = None,
     mesh=None,
     source_id: int = 1,
 ):
@@ -32,6 +35,8 @@ def encode_streams(
     streams: list of int16 arrays.  Returns list of EncodeResult."""
     from .ops.encode_kernel import encode_frames
 
+    if batch_frames is None:
+        batch_frames = JAX_ENCODE_BATCH_FRAMES
     params = params or Parameters()
     spf = params.samples_per_frame
 
@@ -77,7 +82,7 @@ def encode_streams(
 
 def decode_streams(
     archives,
-    batch_frames: int = DEFAULT_BATCH_FRAMES,
+    batch_frames: int | None = None,
     mesh=None,
 ):
     """Decode many .x3a archive byte strings, sharing device batches.
@@ -86,10 +91,12 @@ def decode_streams(
     params, each group decoded with its own frame geometry.  Returns list of
     (samples int16 array, sample_rate).  Raises on CRC mismatch or frame
     decode failure (reference behavior, mapped to the matching error class)."""
-    from .ops.encode_kernel import frame_geometry, width_rungs
+    from .models.decoder import decode_geometry
     from .ops.decode_kernel import decode_frames
     from .errors import decode_error
 
+    if batch_frames is None:
+        batch_frames = JAX_DECODE_BATCH_FRAMES
     specs = []
     # Frame worklists grouped by params (geometry differs across params).
     groups: dict[Parameters, list] = {}  # params -> [(archive_idx, frame_idx, payload, n_samples)]
@@ -113,29 +120,28 @@ def decode_streams(
 
     outs: dict[int, list[tuple[int, np.ndarray]]] = {ai: [] for ai in range(len(archives))}
     for params, work in groups.items():
-        S, B, L, W = frame_geometry(params)
         for base in range(0, len(work), batch_frames):
             chunk = work[base : base + batch_frames]
-            # Compact width rung: lens are known up front (see
-            # models/decoder.decode_frames_batch).
-            maxlen = max((len(p) for _, _, p, _ in chunk), default=0)
-            rungs = width_rungs(params)
-            w = next((r for r in rungs if maxlen <= r * 4), rungs[-1])
+            # Static specialization follows the batch: compact width rung
+            # while payloads fit, escalated geometry for foreign archives
+            # whose frames exceed the default blocks_per_frame (see
+            # models/decoder.decode_geometry) — same accept/reject as the
+            # single-file path by construction.
+            n_blocks, w = decode_geometry(
+                params, [n for _, _, _, n in chunk], [len(p) for _, _, p, _ in chunk]
+            )
             buf = np.zeros((batch_frames, w * 4), dtype=np.uint8)
             ns = np.zeros(batch_frames, dtype=np.int32)
             plens = np.zeros(batch_frames, dtype=np.int32)
             for i, (ai, fi, payload, n) in enumerate(chunk):
-                # A crafted header may claim more bytes than any rung holds
-                # (Frame::MAX_LENGTH 0x7fe0 > W*4); truncate and let the
-                # kernel flag the frame instead of crashing the batch.
-                arr = np.frombuffer(payload, dtype=np.uint8)[: w * 4]
+                arr = np.frombuffer(payload, dtype=np.uint8)
                 buf[i, : len(arr)] = arr
                 ns[i] = n
                 plens[i] = len(arr)
             if mesh is not None:
-                dec, err = decode_frames_sharded(buf, ns, plens, params, mesh)
+                dec, err = decode_frames_sharded(buf, ns, plens, params, mesh, n_blocks)
             else:
-                dec, err = decode_frames(buf, ns, plens, params)
+                dec, err = decode_frames(buf, ns, plens, params, n_blocks)
             dec = np.asarray(dec)
             err = np.asarray(err)
             if err[: len(chunk)].any():
@@ -193,16 +199,27 @@ def wav_to_x3a_batch(
 def x3a_to_wav_batch(
     x3a_filenames,
     wav_filenames,
-    batch_frames: int = DEFAULT_BATCH_FRAMES,
+    batch_frames: int | None = None,
     mesh=None,
     process_index: int | None = None,
     process_count: int | None = None,
 ):
-    """Batch-convert many .x3a archives back to WAV files.
+    """Batch-convert many .x3a archives back to WAV files, frames from all
+    archives sharing device batches.  Returns per-file sample counts.
+
+    Streaming: like files.x3a_to_wav, archives are indexed with header-only
+    seeks and payloads are read one device batch at a time, with WAVs
+    written incrementally — peak memory is O(batch_frames) regardless of
+    the total archive volume (decodefile.rs:44-45 parity for the batch
+    path too).  CRC mismatches and frame decode failures raise, like
+    decode_streams; outputs already flushed before a raise may be partial.
 
     process_index/process_count: multi-host input sharding (strided) — this
     process decodes only its shard of the archive list."""
-    from pathlib import Path
+    from .models.decoder import decode_geometry
+    from .ops.decode_kernel import decode_frames
+    from .errors import decode_error
+    from .utils.wav import WavWriter
 
     if process_count is not None or process_index is not None:
         from .parallel.multihost import shard_worklist
@@ -212,8 +229,88 @@ def x3a_to_wav_batch(
         )
         x3a_filenames = [x for x, _ in pairs]
         wav_filenames = [w for _, w in pairs]
-    archives = [Path(p).read_bytes() for p in x3a_filenames]
-    decoded = decode_streams(archives, batch_frames, mesh)
-    for path, (samples, rate) in zip(wav_filenames, decoded):
-        write_wav(path, samples, rate)
-    return [len(samples) for samples, _ in decoded]
+    if batch_frames is None:
+        batch_frames = JAX_DECODE_BATCH_FRAMES
+    if mesh is not None:
+        from .parallel.mesh import decode_frames_sharded
+
+        batch_frames = -(-batch_frames // mesh.size) * mesh.size
+
+    handles, writers = [], {}
+    try:
+        specs, indexes = [], []
+        for p in x3a_filenames:
+            f = open(p, "rb")
+            handles.append(f)
+            spec, hs = archive.read_archive_header_file(f)
+            specs.append(spec)
+            indexes.append(list(archive.walk_frames_file(f, hs)))
+
+        # Frame worklists grouped by params (each archive belongs to exactly
+        # one group, so its frames still arrive in order).
+        groups: dict[Parameters, list] = {}
+        for ai, index in enumerate(indexes):
+            g = groups.setdefault(specs[ai].params, [])
+            for fi, (off, h) in enumerate(index):
+                g.append((ai, fi, off, h))
+
+        def writer_for(ai):
+            if ai not in writers:
+                writers[ai] = WavWriter(wav_filenames[ai], specs[ai].sample_rate)
+            return writers[ai]
+
+        done = [0] * len(handles)
+        for params, work in groups.items():
+            for base in range(0, len(work), batch_frames):
+                chunk = work[base : base + batch_frames]
+                payloads = []
+                for ai, fi, off, h in chunk:
+                    handles[ai].seek(off)
+                    payloads.append(handles[ai].read(h.payload_len))
+                ok = archive.verify_payload_crcs_parts(
+                    payloads, [h.payload_crc for _, _, _, h in chunk]
+                )
+                if not ok.all():
+                    bad = int(np.nonzero(~ok)[0][0])
+                    ai, fi = chunk[bad][0], chunk[bad][1]
+                    raise FrameHeaderInvalidPayloadCRC(
+                        f"archive {ai} frame {fi} payload CRC mismatch"
+                    )
+                n_blocks, w = decode_geometry(
+                    params, [h.samples for _, _, _, h in chunk], [len(p) for p in payloads]
+                )
+                buf = np.zeros((batch_frames, w * 4), dtype=np.uint8)
+                ns = np.zeros(batch_frames, dtype=np.int32)
+                plens = np.zeros(batch_frames, dtype=np.int32)
+                for i, payload in enumerate(payloads):
+                    arr = np.frombuffer(payload, dtype=np.uint8)
+                    buf[i, : len(arr)] = arr
+                    ns[i] = chunk[i][3].samples
+                    plens[i] = len(arr)
+                if mesh is not None:
+                    dec, err = decode_frames_sharded(buf, ns, plens, params, mesh, n_blocks)
+                else:
+                    dec, err = decode_frames(buf, ns, plens, params, n_blocks)
+                dec = np.asarray(dec)
+                err = np.asarray(err)
+                if err[: len(chunk)].any():
+                    bad = int(np.nonzero(err)[0][0])
+                    ai, fi = chunk[bad][0], chunk[bad][1]
+                    raise decode_error(err[bad], f"archive {ai} frame {fi} failed to decode")
+                for i, (ai, fi, off, h) in enumerate(chunk):
+                    writer_for(ai).write(dec[i, : h.samples])
+                    done[ai] += 1
+                    if done[ai] == len(indexes[ai]):
+                        writers.pop(ai).close()
+
+        # Archives with zero frames still produce (empty) WAVs.
+        for ai, index in enumerate(indexes):
+            if not index:
+                writer_for(ai)
+                writers.pop(ai).close()
+        return [int(sum(h.samples for _, h in index)) for index in indexes]
+    finally:
+        for wtr in writers.values():
+            wtr.close()
+        for f in handles:
+            f.close()

@@ -10,12 +10,15 @@ import os
 
 
 def _ensure_compile_cache() -> None:
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/x3_tpu_jax_cache")
-    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
     try:
         import jax
 
         if jax.config.jax_compilation_cache_dir is None:
+            # Only then touch os.environ (so child processes inherit the
+            # same cache); a user who already configured a cache — via env
+            # or jax.config — keeps theirs and their environment untouched.
+            os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/x3_tpu_jax_cache")
+            os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
             jax.config.update(
                 "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
             )

@@ -43,7 +43,7 @@ import numpy as np
 
 from .. import constants
 from ..params import Parameters
-from .encode_kernel import block_buffer_words, frame_geometry
+from .encode_kernel import block_buffer_words, frame_geometry, frame_geometry_blocks
 
 # Per-frame decode error codes (parity with the reference's X3Error variants,
 # error.rs:27-62): 0 ok, 1 invalid BFP (num_bits<=5, decoder.rs:209-212),
@@ -56,11 +56,13 @@ ERR_OVERRUN = 3
 
 # Chunked-gather geometry: G-word slice granularity, K slices per gather.
 # On TPU, wide chunks (U blocks per dependent gather) amortize the per-step
-# DMA latency; XLA:CPU compile time explodes on the wide-chunk trace, so the
-# CPU config keeps small per-block windows (the chunked code path itself is
-# still exercised on CPU by the tiny-params tests, where U > 1 compiles
-# quickly).  Correctness is config-independent: all configs are bit-exact.
-def _gather_geometry(L: int, WIN: int) -> tuple[int, int, int]:
+# DMA latency; XLA:CPU compile time explodes on wide-chunk traces once the
+# block count is non-trivial (measured: L=1/U=7 at B=96 blocks exceeds 100 s
+# of fresh compile while U=1 takes 0.9 s; default L=20/U=1 at B=500 is ~4 s),
+# so the CPU config runs one block per step except for tiny geometries,
+# which keep U > 1 so the chunked code path stays CPU-tested.  Correctness
+# is config-independent: all configs are bit-exact.
+def _gather_geometry(L: int, WIN: int, B: int) -> tuple[int, int, int]:
     """(G, K, U) for the current backend.
 
     Constraint: the first block may start G-1 words into the gathered K*G
@@ -72,8 +74,8 @@ def _gather_geometry(L: int, WIN: int) -> tuple[int, int, int]:
     G = 64 if jax.default_backend() != "cpu" else 16
     K = max(2, -(-(G - 1 + WIN + maxadv) // G))
     U = max(1, (K * G - G + 1 - WIN) // maxadv)
-    if jax.default_backend() == "cpu":
-        U = min(U, 1 if L > 8 else U)  # keep CPU trace small for big blocks
+    if jax.default_backend() == "cpu" and not (B <= 32 and L <= 8):
+        U = 1
     return G, K, U
 
 
@@ -125,8 +127,8 @@ def _barrel(cur: list, idx, nout: int, maxidx: int) -> list:
 
 
 
-@functools.partial(jax.jit, static_argnums=(3,))
-def decode_frames_checked(payload: jax.Array, n_samples: jax.Array, payload_lens: jax.Array, params: Parameters):
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def decode_frames_checked(payload: jax.Array, n_samples: jax.Array, payload_lens: jax.Array, params: Parameters, n_blocks: int | None = None):
     """decode_frames plus device-side payload CRC16 (the batched integrity
     check of SURVEY.md §5): returns (samples, err, crc int32 [F]).  The CRC
     rides the MXU matmul over the words the decoder already built, so the
@@ -134,13 +136,13 @@ def decode_frames_checked(payload: jax.Array, n_samples: jax.Array, payload_lens
     from .crc_jax import crc16_words_jax
 
     W = payload.shape[1] // 4  # matches _decode_impl's inferred width
-    out, err, words = _decode_impl(payload, n_samples, payload_lens, params)
+    out, err, words = _decode_impl(payload, n_samples, payload_lens, params, n_blocks)
     crc = crc16_words_jax(words, payload_lens.astype(jnp.int32), W)
     return out, err, crc.astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnums=(3,))
-def decode_frames(payload: jax.Array, n_samples: jax.Array, payload_lens: jax.Array, params: Parameters):
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def decode_frames(payload: jax.Array, n_samples: jax.Array, payload_lens: jax.Array, params: Parameters, n_blocks: int | None = None):
     """Decode a batch of frame payloads.
 
     payload: uint8 [F, W*4] zero-padded payload bytes.  W is inferred from
@@ -158,18 +160,28 @@ def decode_frames(payload: jax.Array, n_samples: jax.Array, payload_lens: jax.Ar
         zero counts cap at the payload end exactly like the reference's
         BitReader (bitreader.rs:129-139), which is observable on corrupt
         streams whose last run reaches the end of the data.
-    Returns (samples int16 [F, S], err int32 [F] — ERR_* codes, 0 = ok)."""
-    out, err, _ = _decode_impl(payload, n_samples, payload_lens, params)
+    n_blocks: static block-walk count override (None = blocks_per_frame).
+        The reference walks `min(remaining, block_len)`-sample blocks off
+        the caller's sample count alone (decoder.rs:36-58), so frames may
+        legally exceed params.samples_per_frame (blocks_per_frame is not in
+        the archive XML, decodefile.rs:295-300).  Callers bucket via
+        models/decoder.decode_geometry to bound the compile cache.
+    Returns (samples int16 [F, S], err int32 [F] — ERR_* codes, 0 = ok)
+    where S = 1 + n_blocks*L when overridden."""
+    out, err, _ = _decode_impl(payload, n_samples, payload_lens, params, n_blocks)
     return out, err
 
 
-def _decode_impl(payload: jax.Array, n_samples: jax.Array, payload_lens: jax.Array, params: Parameters):
-    S, B, L, WFULL = frame_geometry(params)
+def _decode_impl(payload: jax.Array, n_samples: jax.Array, payload_lens: jax.Array, params: Parameters, n_blocks: int | None = None):
+    if n_blocks is None:
+        S, B, L, WFULL = frame_geometry(params)
+    else:
+        S, B, L, WFULL = frame_geometry_blocks(params, n_blocks)
     W = payload.shape[1] // 4  # compact width rung (<= WFULL) or full
     WIN = block_buffer_words(params)  # covers any block + start skew
     F = payload.shape[0]
     nsubs_np, invlen_np = _decode_tables(params)
-    G, K, U = _gather_geometry(L, WIN)
+    G, K, U = _gather_geometry(L, WIN, B)
     steps = -(-B // U)
     gbits = G.bit_length() - 1
 

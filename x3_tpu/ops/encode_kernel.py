@@ -71,17 +71,38 @@ def rice_code_closed_form(d, order: int):
 
 def frame_geometry(params: Parameters):
     """Static sizes for the [F, S] pipeline."""
-    S = params.samples_per_frame
     B = params.blocks_per_frame
+    return params.samples_per_frame, B, params.block_len, _worst_case_words(params, B)
+
+
+def frame_geometry_blocks(params: Parameters, n_blocks: int):
+    """Static decode sizes for a pipeline walking `n_blocks` blocks per frame.
+
+    The reference decoder's block loop is driven purely by the caller-
+    supplied sample count — `min(remaining, block_len)` per block, never by
+    Parameters.blocks_per_frame (decoder.rs:36-58); blocks_per_frame is not
+    serialized in the archive XML, so decode must accept frames LARGER than
+    the default geometry (decodefile.rs:295-300).  Decode callers derive
+    n_blocks from the batch's max header sample count (bucketed — see
+    models/decoder.decode_geometry) and this helper supplies the matching
+    static sizes.  The output width is 1 + n_blocks*block_len (raw first
+    sample + full blocks) — note this exceeds params.samples_per_frame by
+    one even at n_blocks == blocks_per_frame, since a foreign frame may
+    carry one extra sample at the same block count."""
+    B = n_blocks
     L = params.block_len
+    return 1 + B * L, B, L, _worst_case_words(params, B)
+
+
+def _worst_case_words(params: Parameters, B: int) -> int:
     # Worst case payload bits: 16 (first sample) + per block (6-bit header +
     # 16 bits per sample).  The last block of a full frame has L-1 samples
     # but we bound with L for simplicity.
-    max_bits = 16 + B * (constants.BFP_HDR_LEN + 16 * L)
+    max_bits = 16 + B * (constants.BFP_HDR_LEN + 16 * params.block_len)
     n_words = -(-max_bits // 32) + 1  # +1 slack word for end-of-stream spill
     if n_words % 8:
         n_words += 8 - n_words % 8
-    return S, B, L, n_words
+    return n_words
 
 
 def block_buffer_words(params: Parameters) -> int:

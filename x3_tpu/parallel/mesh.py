@@ -54,12 +54,12 @@ def encode_frames_sharded(samples, n_valid, params: Parameters, mesh: Mesh):
     return fn(samples, n_valid)
 
 
-def decode_frames_sharded(payload, n_samples, payload_lens, params: Parameters, mesh: Mesh):
+def decode_frames_sharded(payload, n_samples, payload_lens, params: Parameters, mesh: Mesh, n_blocks: int | None = None):
     """Decode a [F, W*4] payload batch sharded across the mesh's frame axis."""
     from ..ops.decode_kernel import decode_frames
 
     def local(p, n, pl):
-        return decode_frames(p, n, pl, params)
+        return decode_frames(p, n, pl, params, n_blocks)
 
     fn = jax.shard_map(
         local,
