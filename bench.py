@@ -54,11 +54,12 @@ def make_class_corpus(name: str, n_frames: int, spf: int, seed: int = 7) -> np.n
     if name == "hydrophone":
         return make_corpus(n_frames, spf, seed)
     if name == "music":
-        # Wideband program material: tonal base + strong broadband noise,
-        # diffs ~11-12 bits -> mostly BFP blocks like real music (1.33x).
+        # Wideband program material: tonal base + broadband noise, diffs
+        # ~10-11 bits -> mostly BFP blocks; calibrated to the reference's
+        # music-class ratio (~1.33x, timings.csv:2-6).
         t = np.arange(n, dtype=np.float64)
-        tone = 9000.0 * np.sin(2 * np.pi * t / 97.0) + 5000.0 * np.sin(2 * np.pi * t / 23.0)
-        noise = rng.normal(0.0, 1200.0, n)
+        tone = 3000.0 * np.sin(2 * np.pi * t / 97.0) + 2000.0 * np.sin(2 * np.pi * t / 23.0)
+        noise = rng.normal(0.0, 300.0, n)
         return np.clip(np.round(tone + noise), -32768, 32767).astype(np.int16)
     if name == "pi240":
         # Very quiet sensor floor: tiny first differences (mostly 0/±1),

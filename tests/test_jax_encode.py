@@ -167,9 +167,12 @@ def test_compact_width_rung_bit_exact(rng):
     rungs = width_rungs(P)
     assert rungs[-1] > rungs[0] and len(rungs) >= 2
     full = encode_frames(frames, nv, P, "block")
-    compact = encode_frames(frames, nv, P, "block", rungs[0])
-    assert fits_width(np.asarray(compact["nbytes"]), rungs[0], P)
-    w = rungs[0]
+    # smallest rung this corpus fits (finer rungs exist for more
+    # compressible classes and legitimately do not hold hydrophone frames)
+    w = next(r for r in rungs if fits_width(np.asarray(full["nbytes"]), r, P))
+    assert w < rungs[-1]
+    compact = encode_frames(frames, nv, P, "block", w)
+    assert fits_width(np.asarray(compact["nbytes"]), w, P)
     np.testing.assert_array_equal(
         np.asarray(compact["payload_words"]), np.asarray(full["payload_words"])[:, :w]
     )
@@ -253,10 +256,19 @@ def test_compact_block_width_rung_bit_exact(rng):
     nv = np.full(frames.shape[0], 10_000, np.int32)
     nw_rungs = block_width_rungs(P)
     assert nw_rungs[-1] > nw_rungs[0] and len(nw_rungs) >= 2
-    w = width_rungs(P)[0]
+    probe = encode_frames(frames, nv, P, "block")
+    w = next(
+        r for r in width_rungs(P) if np.asarray(probe["nbytes"]).max() <= (r - 2) * 4
+    )
+    # smallest block rung this corpus fits (nw=4 exists for the very
+    # compressible class and legitimately does not hold hydrophone blocks)
+    nw = next(
+        r for r in nw_rungs if fits_block_width(np.asarray(probe["blockfit_bits"]), r, P)
+    )
+    assert nw < nw_rungs[-1]
     full = encode_frames(frames, nv, P, "block", w)
-    compact = encode_frames(frames, nv, P, "block", w, nw_rungs[0])
-    assert fits_block_width(np.asarray(compact["blockfit_bits"]), nw_rungs[0], P)
+    compact = encode_frames(frames, nv, P, "block", w, nw)
+    assert fits_block_width(np.asarray(compact["blockfit_bits"]), nw, P)
     np.testing.assert_array_equal(
         np.asarray(compact["blockfit_bits"]), np.asarray(full["blockfit_bits"])
     )

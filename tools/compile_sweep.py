@@ -105,6 +105,19 @@ def main() -> int:
             plens,
         )
 
+    # Foreign-geometry decode (n_blocks escalation, models/decoder.
+    # decode_geometry): the first power-of-two bucket past the default.
+    nb = 2 * B
+    payload = np.zeros((Fd, width_rungs(params)[0] * 4), np.uint8)
+    ns2 = np.full(Fd, 1 + nb * L, np.int32)
+    check(
+        f"decode F={Fd} n_blocks={nb}",
+        lambda p, n, pl: decode_frames(p, n, pl, params, nb),
+        payload,
+        ns2,
+        plens,
+    )
+
     if failures:
         print(f"\n{len(failures)} configuration(s) FAILED to compile cold")
         return 1

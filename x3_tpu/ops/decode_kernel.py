@@ -136,9 +136,33 @@ def decode_frames_checked(payload: jax.Array, n_samples: jax.Array, payload_lens
     from .crc_jax import crc16_words_jax
 
     W = payload.shape[1] // 4  # matches _decode_impl's inferred width
+    F = payload.shape[0]
+    if F > _DECODE_SUBBATCH:
+        parts = []
+        for b in range(0, F, _DECODE_SUBBATCH):
+            out, err, words = _decode_impl(
+                payload[b : b + _DECODE_SUBBATCH],
+                n_samples[b : b + _DECODE_SUBBATCH],
+                payload_lens[b : b + _DECODE_SUBBATCH],
+                params,
+                n_blocks,
+            )
+            crc = crc16_words_jax(
+                words, payload_lens[b : b + _DECODE_SUBBATCH].astype(jnp.int32), W
+            )
+            parts.append((out, err, crc.astype(jnp.int32)))
+        return tuple(jnp.concatenate([p[i] for p in parts], axis=0) for i in range(3))
     out, err, words = _decode_impl(payload, n_samples, payload_lens, params, n_blocks)
     crc = crc16_words_jax(words, payload_lens.astype(jnp.int32), W)
     return out, err, crc.astype(jnp.int32)
+
+
+# The scan's per-step working set scales with the lane count; past the
+# F=6144 sweet spot it spills and throughput cliffs (measured v5e, steps of
+# 125: 49 us/step at F=2048, 132 at 6144 — near-linear — then 253 at 8192).
+# Wider batches are therefore walked as sub-batches inside ONE jitted
+# program, like encode's _SUBBATCH.
+_DECODE_SUBBATCH = 6144
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4))
@@ -168,6 +192,22 @@ def decode_frames(payload: jax.Array, n_samples: jax.Array, payload_lens: jax.Ar
         models/decoder.decode_geometry to bound the compile cache.
     Returns (samples int16 [F, S], err int32 [F] — ERR_* codes, 0 = ok)
     where S = 1 + n_blocks*L when overridden."""
+    F = payload.shape[0]
+    if F > _DECODE_SUBBATCH:
+        parts = [
+            _decode_impl(
+                payload[b : b + _DECODE_SUBBATCH],
+                n_samples[b : b + _DECODE_SUBBATCH],
+                payload_lens[b : b + _DECODE_SUBBATCH],
+                params,
+                n_blocks,
+            )
+            for b in range(0, F, _DECODE_SUBBATCH)
+        ]
+        return (
+            jnp.concatenate([p[0] for p in parts], axis=0),
+            jnp.concatenate([p[1] for p in parts], axis=0),
+        )
     out, err, _ = _decode_impl(payload, n_samples, payload_lens, params, n_blocks)
     return out, err
 

@@ -121,13 +121,15 @@ def width_rungs(params: Parameters) -> list[int]:
     compact rung and escalates to the full width only for batches whose
     `total_bits` (computed from code lengths, independent of the packing
     writes, so it is correct even when a frame overflows the compact
-    buffer) do not fit — see models/encoder.py.  Measured on v5e at
-    F=1024: full W=5096 3.8 ms vs W=2048 2.7 ms (+40%)."""
+    buffer) do not fit — see models/encoder.py.  Escalation jumps straight
+    to the first fitting rung, so a stream pays at most ONE re-dispatch
+    regardless of ladder depth.  Measured on v5e at F=1024: full W=5096
+    3.8 ms vs W=2048 2.7 ms (+40%); on a very-compressible corpus
+    (PI240-class, ratio ~7+) the finer rungs win again: encode 9.9 ->
+    11.5 GB/s at W=512 (F=768), decode 7.43 -> 7.74 GB/s (F=6144)."""
     _, _, _, W = frame_geometry(params)
-    compact = 2048
-    if W > compact * 5 // 4:
-        return [compact, W]
-    return [W]
+    ladder = [r for r in (512, 1024, 2048) if W > r * 5 // 4]
+    return ladder + [W]
 
 
 def fits_width(nbytes, w_words: int, params: Parameters | None = None) -> bool:
@@ -153,9 +155,16 @@ def block_width_rungs(params: Parameters) -> list[int]:
     r2 + block_bits exceeds the compact buffer — see fits_block_width and
     models/encoder.py.  Measured on v5e (hydrophone corpus, F=768,
     W rung 2048): NW=12 1.76 ms vs NW=6 1.43 ms; with the F=768 sweet spot
-    this took device encode 8.6 -> ~11 GB/s."""
+    this took device encode 8.6 -> ~11 GB/s.  NW=4 (very compressible
+    corpora whose blocks run ~2-3 words) adds 10.0 -> 11.5 GB/s at W=512
+    on the PI240 class (NW=7 is anomalously slow — keep it off ladders)."""
     full = block_buffer_words(params)
-    return sorted({min(6, full), max(6, full // 2) if full > 6 else full, full})
+    ladder = {full}
+    if full > 6:
+        ladder |= {6, max(6, full // 2)}
+    if full > 4:
+        ladder.add(4)
+    return sorted(ladder)
 
 
 def fits_block_width(blockfit_bits, nw_words: int, params: Parameters | None = None) -> bool:
