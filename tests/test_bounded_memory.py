@@ -107,6 +107,68 @@ print(f"dec={{dec:.0f}}")
 
 
 @pytest.mark.slow
+def test_batch_encode_rss_bounded(tmp_path):
+    """multifile.wav_to_x3a_batch streams WAVs in per-batch sample ranges
+    and writes archives incrementally: peak RSS must stay far below the
+    total input volume."""
+    script = f"""
+import resource, sys
+sys.path.insert(0, {str(REPO_ROOT)!r})
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from x3_tpu.multifile import wav_to_x3a_batch
+from x3_tpu.utils.wav import WavWriter
+
+def maxrss_mb():
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+
+rng = np.random.default_rng(12)
+wavs, arcs = [], []
+# 2 WAVs x 30 MB = 60 MB of input.
+for k in range(2):
+    wp = {str(tmp_path)!r} + f"/in{{k}}.wav"
+    n_total = 15_000_000
+    with WavWriter(wp, 96000) as w:
+        left, last = n_total, 0
+        while left:
+            m = min(4_000_000, left)
+            chunk = np.clip(last + np.cumsum(rng.integers(-4, 5, m)), -30000, 30000).astype(np.int16)
+            last = int(chunk[-1]); w.write(chunk); left -= m
+    wavs.append(wp); arcs.append({str(tmp_path)!r} + f"/a{{k}}.x3a")
+# Warm the encode compiles + steady-state buffers on ONE file so base
+# includes the XLA compile RSS spike; the assertion isolates growth with
+# input volume.
+wav_to_x3a_batch(wavs[:1], [arcs[0] + ".warm"], batch_frames=128)
+base = maxrss_mb()
+results = wav_to_x3a_batch(wavs, arcs, batch_frames=128)
+enc = maxrss_mb()
+assert all(r.nbytes > 0 for r in results)
+# roundtrip sanity via the bounded single-file path
+from x3_tpu.files import x3a_to_wav
+from x3_tpu.utils.wav import read_wav
+bp = {str(tmp_path)!r} + "/back0.wav"
+assert x3a_to_wav(arcs[0], bp, engine="native") == 0
+a, _ = read_wav(wavs[0]); b, _ = read_wav(bp)
+ok = bool(np.array_equal(a, b)); del a, b
+print(f"exact={{ok}}")
+print(f"base={{base:.0f}}")
+print(f"dec={{enc:.0f}}")
+"""
+    out = _run(script)
+    if out.get("skip"):
+        pytest.skip("native toolchain unavailable")
+    assert out["exact"] == "True"
+    base, enc = float(out["base"]), float(out["dec"])
+    # 60 MB input: a whole-file reader would grow RSS by >= 60 MB; the
+    # streaming walker by ~one 128-frame batch.
+    assert enc < base + 45.0, f"batch encode RSS grew {enc - base:.0f} MB"
+
+
+@pytest.mark.slow
 def test_batch_decode_rss_bounded(tmp_path):
     """multifile.x3a_to_wav_batch streams through the seek-based walker:
     peak RSS must stay far below the total decoded volume (the batch API

@@ -97,6 +97,28 @@ def test_trailing_payload_bytes_are_ignored_but_crc_covers_them(rng):
     np.testing.assert_array_equal(outs[0], oracle.decode_frame(extended, DEFAULT, 5_000))
 
 
+def test_batch_apis_accept_foreign_geometry(rng, tmp_path):
+    """The multi-file batch APIs (decode_streams / x3a_to_wav_batch) follow
+    header sample counts exactly like the single-file path — same
+    accept/reject and samples on a bpf=600 archive."""
+    from x3_tpu.multifile import decode_streams, x3a_to_wav_batch
+
+    wav = make_hydrophone(rng, 24_000)
+    src = tmp_path / "in.wav"
+    write_wav(src, wav, 96_000)
+    arc = tmp_path / "a.x3a"
+    files.wav_to_x3a(src, arc, params=Parameters(blocks_per_frame=600), engine="numpy")
+
+    (samples, rate), = decode_streams([arc.read_bytes()])
+    np.testing.assert_array_equal(samples, wav)
+
+    out = tmp_path / "out.wav"
+    counts = x3a_to_wav_batch([arc], [out], batch_frames=4)
+    assert counts == [len(wav)]
+    got, _ = read_wav(out)
+    np.testing.assert_array_equal(got, wav)
+
+
 def test_decode_geometry_buckets():
     """Bucketing bounds the compile cache: default-sized batches keep the
     params geometry (n_blocks None), oversized ones escalate by powers of

@@ -16,7 +16,6 @@ from .errors import FrameHeaderInvalidPayloadCRC
 from .files import JAX_DECODE_BATCH_FRAMES, JAX_ENCODE_BATCH_FRAMES
 from .models.encoder import EncodeResult, build_frame_headers
 from .params import Parameters
-from .utils.wav import read_wav
 
 # The batch APIs run the jax pipelines; default to the measured device
 # sweet spots (see files.resolve_batch_frames).
@@ -33,10 +32,6 @@ def encode_streams(
     """Encode many independent mono streams, sharing device batches.
 
     streams: list of int16 arrays.  Returns list of EncodeResult."""
-    from .ops.encode_kernel import encode_frames
-
-    if batch_frames is None:
-        batch_frames = JAX_ENCODE_BATCH_FRAMES
     params = params or Parameters()
     spf = params.samples_per_frame
 
@@ -47,37 +42,83 @@ def encode_streams(
         for start in range(0, n, spf):
             work.append((si, start, min(spf, n - start)))
 
+    parts: list[list[bytes]] = [[] for _ in streams]
+    stats = [np.zeros(6, dtype=np.int64) for _ in streams]
+
+    def fill(chunk, batch, n_valid):
+        for i, (si, start, n) in enumerate(chunk):
+            batch[i, :n] = streams[si][start : start + n]
+            n_valid[i] = n
+
+    def emit(chunk, n_valid, headers, payload, nbytes, bstats):
+        for i, (si, start, n) in enumerate(chunk):
+            parts[si].append(headers[i].tobytes() + payload[i, : nbytes[i]].tobytes())
+            stats[si] += bstats[i].astype(np.int64)
+
+    _run_encode_worklist(work, fill, emit, params, batch_frames, mesh, source_id)
+    return [EncodeResult(b"".join(p), st) for p, st in zip(parts, stats)]
+
+
+def _run_encode_worklist(work, fill, emit, params: Parameters, batch_frames, mesh, source_id):
+    """Drive the batched device encode over a frame worklist with the
+    adaptive rung ladders (sticky escalation, at most one re-dispatch per
+    axis — same scheme as models/encoder.encode).
+
+    fill(chunk, batch, n_valid): populate the [batch_frames, spf] buffer.
+    emit(chunk, n_valid, headers, payload, nbytes, stats): consume results.
+    """
+    from .ops.encode_kernel import (
+        block_width_rungs,
+        encode_frames,
+        fits_block_width,
+        fits_width,
+        width_rungs,
+    )
+
+    if batch_frames is None:
+        batch_frames = JAX_ENCODE_BATCH_FRAMES
     if mesh is not None:
         from .parallel.mesh import encode_frames_sharded
 
-        ndev = mesh.size
-        batch_frames = -(-batch_frames // ndev) * ndev
-
-    parts: list[list[bytes]] = [[] for _ in streams]
-    stats = [np.zeros(6, dtype=np.int64) for _ in streams]
+        batch_frames = -(-batch_frames // mesh.size) * mesh.size
+    spf = params.samples_per_frame
+    rungs = width_rungs(params)
+    nw_rungs = block_width_rungs(params)
+    rung = nw_rung = 0
 
     for base in range(0, len(work), batch_frames):
         chunk = work[base : base + batch_frames]
         batch = np.zeros((batch_frames, spf), dtype=np.int16)
         n_valid = np.zeros(batch_frames, dtype=np.int32)
-        for i, (si, start, n) in enumerate(chunk):
-            batch[i, :n] = streams[si][start : start + n]
-            n_valid[i] = n
-        if mesh is not None:
-            res = encode_frames_sharded(batch, n_valid, params, mesh)
-        else:
-            res = encode_frames(batch, n_valid, params)
+        fill(chunk, batch, n_valid)
+
+        def run(w, nw):
+            if mesh is not None:
+                return encode_frames_sharded(batch, n_valid, params, mesh, w, nw)
+            return encode_frames(batch, n_valid, params, "block", w, nw)
+
+        res = run(rungs[rung], nw_rungs[nw_rung])
+        nbytes = np.asarray(res["nbytes"])[: len(chunk)]
+        blockfit = np.asarray(res["blockfit_bits"])[: len(chunk)]
+        need_w = not fits_width(nbytes, rungs[rung], params)
+        need_nw = not fits_block_width(blockfit, nw_rungs[nw_rung], params)
+        if need_w or need_nw:
+            while need_w and rung < len(rungs) - 1:
+                rung += 1
+                if fits_width(nbytes, rungs[rung], params):
+                    break
+            while need_nw and nw_rung < len(nw_rungs) - 1:
+                nw_rung += 1
+                if fits_block_width(blockfit, nw_rungs[nw_rung], params):
+                    break
+            res = run(rungs[rung], nw_rungs[nw_rung])
+            nbytes = np.asarray(res["nbytes"])[: len(chunk)]
         words = np.ascontiguousarray(res["payload_words"])
         payload = words.byteswap().view(np.uint8)
-        nbytes = np.asarray(res["nbytes"])
         crc = np.asarray(res["crc"])
         bstats = np.asarray(res["stats"])
-        headers = build_frame_headers(n_valid[: len(chunk)], source_id, nbytes[: len(chunk)], crc[: len(chunk)])
-        for i, (si, start, n) in enumerate(chunk):
-            parts[si].append(headers[i].tobytes() + payload[i, : nbytes[i]].tobytes())
-            stats[si] += bstats[i].astype(np.int64)
-
-    return [EncodeResult(b"".join(p), st) for p, st in zip(parts, stats)]
+        headers = build_frame_headers(n_valid[: len(chunk)], source_id, nbytes, crc[: len(chunk)])
+        emit(chunk, n_valid, headers, payload, nbytes, bstats)
 
 
 def decode_streams(
@@ -162,18 +203,27 @@ def wav_to_x3a_batch(
     wav_filenames,
     x3a_filenames,
     params: Parameters | None = None,
-    batch_frames: int = DEFAULT_BATCH_FRAMES,
+    batch_frames: int | None = None,
     mesh=None,
     process_index: int | None = None,
     process_count: int | None = None,
 ):
     """Batch-convert many WAV files to .x3a archives, frames from all files
-    sharing device batches.  Returns the list of EncodeResult.
+    sharing device batches.  Returns the list of EncodeResult (data=b"",
+    nbytes = the frame-stream size written; archives go straight to disk).
+
+    Streaming: WAVs are read in per-batch sample ranges (seeks) and
+    archives written incrementally, so peak memory is O(batch_frames)
+    regardless of total input volume — same bound as files.wav_to_x3a.
 
     process_index/process_count: multi-host input sharding — this process
     converts only its strided shard of the file list (see
     parallel.multihost.shard_worklist); other entries are skipped.  The
     codec is collective-free, so hosts never communicate."""
+    import wave
+
+    from .errors import MoreThanOneChannel, X3Error
+
     if process_count is not None or process_index is not None:
         from .parallel.multihost import shard_worklist
 
@@ -183,17 +233,54 @@ def wav_to_x3a_batch(
         wav_filenames = [w for w, _ in pairs]
         x3a_filenames = [x for _, x in pairs]
     params = params or Parameters()
-    streams, rates = [], []
-    for p in wav_filenames:
-        s, r = read_wav(p)
-        streams.append(s)
-        rates.append(r)
-    results = encode_streams(streams, params, batch_frames, mesh)
-    for path, rate, res in zip(x3a_filenames, rates, results):
-        with open(path, "wb") as f:
-            f.write(archive.build_archive_header(rate, params))
-            f.write(res.data)
-    return results
+    spf = params.samples_per_frame
+
+    readers, outs = [], []
+    try:
+        work = []  # (file_idx, start_sample, n_samples)
+        for fi, p in enumerate(wav_filenames):
+            w = wave.open(str(p), "rb")
+            readers.append(w)
+            if w.getsampwidth() != 2:
+                raise X3Error(f"only 16-bit WAV supported, got {8 * w.getsampwidth()}-bit")
+            if w.getnchannels() != 1:
+                raise MoreThanOneChannel(f"only mono WAV supported, got {w.getnchannels()} channels")
+            n = w.getnframes()
+            for start in range(0, n, spf):
+                work.append((fi, start, min(spf, n - start)))
+
+        for fi, p in enumerate(x3a_filenames):
+            f = open(p, "wb")
+            outs.append(f)
+            f.write(archive.build_archive_header(readers[fi].getframerate(), params))
+
+        stats = [np.zeros(6, dtype=np.int64) for _ in readers]
+        written = [0] * len(readers)
+
+        def fill(chunk, batch, n_valid):
+            for i, (fi, start, n) in enumerate(chunk):
+                readers[fi].setpos(start)
+                raw = readers[fi].readframes(n)
+                batch[i, :n] = np.frombuffer(raw, dtype="<i2")
+                n_valid[i] = n
+
+        def emit(chunk, n_valid, headers, payload, nbytes, bstats):
+            # Within the worklist, each file's frames are in order, so the
+            # incremental writes produce the same bytes as the in-memory
+            # concatenation.
+            for i, (fi, start, n) in enumerate(chunk):
+                outs[fi].write(headers[i].tobytes())
+                outs[fi].write(payload[i, : nbytes[i]].tobytes())
+                written[fi] += 20 + int(nbytes[i])
+                stats[fi] += bstats[i].astype(np.int64)
+
+        _run_encode_worklist(work, fill, emit, params, batch_frames, mesh, source_id=1)
+        return [EncodeResult(b"", st, nbytes=nb) for st, nb in zip(stats, written)]
+    finally:
+        for w in readers:
+            w.close()
+        for f in outs:
+            f.close()
 
 
 def x3a_to_wav_batch(

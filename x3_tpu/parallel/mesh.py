@@ -25,15 +25,16 @@ def make_mesh(devices=None, axis_name: str = AXIS) -> Mesh:
     return Mesh(np.asarray(devices), (axis_name,))
 
 
-def encode_frames_sharded(samples, n_valid, params: Parameters, mesh: Mesh):
+def encode_frames_sharded(samples, n_valid, params: Parameters, mesh: Mesh, w_words: int | None = None, nw_words: int | None = None):
     """Encode a [F, S] batch sharded across the mesh's frame axis.
 
     F must be divisible by the mesh size.  Each device runs the single-chip
-    pipeline on its local shard — no collectives (frames are independent)."""
+    pipeline on its local shard — no collectives (frames are independent).
+    w_words/nw_words: adaptive rung specializations (encode_frames)."""
     from ..ops.encode_kernel import encode_frames
 
     def local(s, n):
-        return encode_frames(s, n, params)
+        return encode_frames(s, n, params, "block", w_words, nw_words)
 
     fn = jax.shard_map(
         local,
