@@ -126,9 +126,11 @@ def width_rungs(params: Parameters) -> list[int]:
     regardless of ladder depth.  Measured on v5e at F=1024: full W=5096
     3.8 ms vs W=2048 2.7 ms (+40%); on a very-compressible corpus
     (PI240-class, ratio ~7+) the finer rungs win again: encode 9.9 ->
-    11.5 GB/s at W=512 (F=768), decode 7.43 -> 7.74 GB/s (F=6144)."""
+    11.5 GB/s at W=512 (F=768), decode 7.43 -> 7.74 GB/s (F=6144); and on
+    the music class (ratio ~1.3) W=4096 still beats the 5096 worst case by
+    ~8% (with NW=10, 5.9 -> 7.4 GB/s combined)."""
     _, _, _, W = frame_geometry(params)
-    ladder = [r for r in (512, 1024, 2048) if W > r * 5 // 4]
+    ladder = [r for r in (512, 1024, 2048, 4096) if W > r]
     return ladder + [W]
 
 
@@ -157,11 +159,15 @@ def block_width_rungs(params: Parameters) -> list[int]:
     W rung 2048): NW=12 1.76 ms vs NW=6 1.43 ms; with the F=768 sweet spot
     this took device encode 8.6 -> ~11 GB/s.  NW=4 (very compressible
     corpora whose blocks run ~2-3 words) adds 10.0 -> 11.5 GB/s at W=512
-    on the PI240 class (NW=7 is anomalously slow — keep it off ladders)."""
+    on the PI240 class; NW=10 serves the music class (blockfit ~520 bits,
+    6.4 -> 7.4 GB/s at W=4096).  NW=7 is anomalously slow — keep it off
+    ladders."""
     full = block_buffer_words(params)
     ladder = {full}
     if full > 6:
         ladder |= {6, max(6, full // 2)}
+    if full > 10:
+        ladder.add(10)
     if full > 4:
         ladder.add(4)
     return sorted(ladder)
