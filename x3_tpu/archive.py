@@ -22,9 +22,29 @@ from .errors import (
     MoreThanOneChannel,
 )
 from .models.oracle import write_frame_header
-from .ops.crc import crc16, crc16_many
+from .ops.crc import crc16 as _crc16_py, crc16_many
 from .params import Parameters, X3aSpec
 from .utils.xmlmeta import build_xml, parse_xml
+
+crc16 = _crc16_py  # re-export for existing callers/tests
+
+
+def _crc16(data) -> int:
+    """CRC16 routed to the native core when built (the header walk calls
+    this once per frame; the pure-Python fallback dominates archive
+    indexing otherwise).  Self-replacing: the first call resolves the
+    engine and rebinds the module attribute."""
+    global _crc16
+    try:
+        from . import native
+
+        if native.available():
+            _crc16 = native.crc16
+            return native.crc16(data)
+    except Exception:
+        pass
+    _crc16 = _crc16_py
+    return _crc16_py(data)
 
 
 @dataclasses.dataclass
@@ -42,7 +62,7 @@ def read_frame_header(data: bytes, validate: bool = True) -> FrameHeader:
         raise FrameDecodeUnexpectedEnd(f"{len(data)} bytes < header length")
     if validate:
         expected = int.from_bytes(data[16:18], "big")
-        if crc16(data[0:16]) != expected:
+        if _crc16(data[0:16]) != expected:
             raise FrameHeaderInvalidHeaderCRC("frame header CRC mismatch")
     if data[0:2] != constants.FRAME_KEY_BYTES:
         raise FrameHeaderInvalidKey(f"bad frame key {data[0:2]!r}")
