@@ -97,3 +97,33 @@ def test_native_encode_white_noise_caps(rng):
     a = native.encode(wav, P)
     b = native.encode(wav, P, nthreads=4)
     assert a == b == oracle.encode(wav, P)
+
+
+def test_native_encode_tight_caps_exercise_safe_writer(rng):
+    """The Python API always allocates worst-case buffers, so the encoder's
+    capacity-CHECKED writer path (selected when a frame's worst-case bound
+    does not provably fit) only runs under tight caps: drive x3_encode
+    directly with cap == exact output size (must still be byte-exact) and
+    cap - 1 (must fail with -1, no overrun)."""
+    import ctypes
+
+    from x3_tpu.native import _cparams, load
+
+    lib = load()
+    if lib is None:
+        pytest.skip("native toolchain unavailable")
+    wav = np.ascontiguousarray(make_mixed(rng, 12_345), dtype=np.int16)
+    want = oracle.encode(wav, P)
+    cp = _cparams(P)
+    for cap, expect_ok in [(len(want), True), (len(want) - 1, False), (len(want) + 7, True)]:
+        out = np.full(cap + 64, 0xAB, dtype=np.uint8)  # canary tail
+        wrote = lib.x3_encode(
+            wav.ctypes.data_as(ctypes.c_void_p), len(wav), ctypes.byref(cp),
+            out.ctypes.data_as(ctypes.c_void_p), cap, None,
+        )
+        if expect_ok:
+            assert wrote == len(want)
+            assert out[:wrote].tobytes() == want
+        else:
+            assert wrote == -1
+        assert (out[cap:] == 0xAB).all()  # never writes past cap
