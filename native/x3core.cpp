@@ -135,25 +135,28 @@ static inline void bw_bits(BitWriter* bw, uint32_t value, int32_t n) {
 }
 
 // Capacity-unchecked emit: callers prove up front that the whole frame's
-// worst-case payload fits (see encode_frame), so the hot path carries no
-// per-word bounds tests.  Bit-identical to bw_bits.
-static inline void bw_bits_fast(BitWriter* bw, uint32_t value, int32_t n) {
-    value &= (n >= 32) ? 0xffffffffu : ((1u << n) - 1);
-    bw->acc = (bw->acc << n) | value;
+// worst-case payload (+8 bytes of store slack) fits (see encode_frame), so
+// the hot path carries no per-word bounds tests.  Contract: `value` has no
+// bits above `n` (all call sites build exact-width codes), n <= 56, and the
+// accumulator always holds <= 7 bits between calls — every call drains to
+// byte granularity with ONE unconditional 8-byte store (bytes past the
+// true length are scratch, overwritten by the next call or ignored), which
+// is what lets FOUR codes (any code <= 16 bits) land in a single call.
+// Bit-identical to a bw_bits sequence.
+static inline void bw_bits_fast(BitWriter* bw, uint64_t value, int32_t n) {
+    bw->acc = (bw->acc << n) | value;  // <= 7 + 56 bits: never overflows
     bw->acc_bits += n;
-    if (bw->acc_bits >= 32) {
-        uint32_t w = __builtin_bswap32((uint32_t)(bw->acc >> (bw->acc_bits - 32)));
-        memcpy(bw->out + bw->len, &w, 4);
-        bw->len += 4;
-        bw->acc_bits -= 32;
-        bw->acc &= (bw->acc_bits ? ((1ULL << bw->acc_bits) - 1) : 0);
-    }
+    uint64_t w = __builtin_bswap64(bw->acc << ((64 - bw->acc_bits) & 63));
+    memcpy(bw->out + bw->len, &w, 8);
+    bw->len += bw->acc_bits >> 3;
+    bw->acc_bits &= 7;
+    bw->acc &= (1ULL << bw->acc_bits) - 1;
 }
 
 static inline void bw_word_align(BitWriter* bw, int64_t base) {
-    // The fast emit path leaves up to 31 buffered bits (not the safe
-    // path's < 8), so pad to the next BYTE boundary, drain, then pad to
-    // the 2-byte stream position.
+    // Pad to the next BYTE boundary, drain, then pad to the 2-byte stream
+    // position.  (Both emit paths now drain to < 8 buffered bits, but this
+    // stays correct for any acc_bits.)
     int32_t r = bw->acc_bits & 7;
     if (r) bw_bits(bw, 0, 8 - r);
     bw_flush_bytes(bw);
@@ -181,11 +184,12 @@ static void write_frame_header(uint8_t* h, int32_t num_samples, uint8_t id,
 // Hot-loop structure (round 3): diffs are computed ONCE per block into a
 // stack buffer, per-sample (code, bits) are precomputed in branchless
 // passes the compiler auto-vectorizes, and items are emitted to the bit
-// writer in PAIRS — any two codes fit one 32-bit bw_bits call because a
-// single code never exceeds 16 bits (Rice <= offset-bounded 13 bits with
-// valid Parameters, BFP <= 15, literal 16), halving the serial packing
-// calls.  MSB-first pair concatenation (a << bits_b) | b is bit-identical
-// to emitting a then b.  Measured on one core: 211 -> ~370 MB/s.
+// writer in QUADS on the capacity-proven path (PAIRS on the checked one) —
+// a single code never exceeds 16 bits (Rice <= offset-bounded 13 bits with
+// valid Parameters, BFP <= 15, literal 16), so two codes always fit a
+// 32-bit emit and four codes almost always fit the 56-bit fast emit.
+// MSB-first concatenation (a << bits_b) | b is bit-identical to emitting
+// a then b.
 #define X3_MAX_BLOCK 60  // Parameters::MAX_BLOCK_LENGTH (x3.rs:96)
 
 }  // extern "C" (templates below need C++ linkage; all are static)
@@ -237,6 +241,20 @@ static void encode_frame_blocks(const int16_t* wav, int32_t n, const X3Params* p
             }
             bw_emit<FAST>(&bw, (uint32_t)(ftype + 1), 2);
             int32_t i = 0;
+            if (FAST) {  // quads: 4 codes almost always fit one 56-bit emit
+                for (; i + 4 <= len; i += 4) {
+                    uint32_t ca = (cbuf[i] << bbuf[i + 1]) | cbuf[i + 1];
+                    int32_t ba = bbuf[i] + bbuf[i + 1];
+                    uint32_t cb = (cbuf[i + 2] << bbuf[i + 3]) | cbuf[i + 3];
+                    int32_t bb = bbuf[i + 2] + bbuf[i + 3];
+                    if (ba + bb <= 56) {
+                        bw_bits_fast(&bw, ((uint64_t)ca << bb) | cb, ba + bb);
+                    } else {
+                        bw_bits_fast(&bw, ca, ba);
+                        bw_bits_fast(&bw, cb, bb);
+                    }
+                }
+            }
             for (; i + 2 <= len; i += 2)
                 bw_emit<FAST>(&bw, (cbuf[i] << bbuf[i + 1]) | cbuf[i + 1], bbuf[i] + bbuf[i + 1]);
             if (i < len) bw_emit<FAST>(&bw, cbuf[i], bbuf[i]);
@@ -256,6 +274,16 @@ static void encode_frame_blocks(const int16_t* wav, int32_t n, const X3Params* p
                 bw_emit<FAST>(&bw, (uint32_t)nb, 6);
                 uint32_t mask = (1u << (nb + 1)) - 1;
                 int32_t i = 0;
+                if (FAST && nb <= 13) {  // 4*(nb+1) <= 56: quad emission
+                    int32_t w1 = nb + 1;
+                    for (; i + 4 <= len; i += 4) {
+                        uint64_t q = ((uint64_t)((uint32_t)dbuf[i] & mask) << (3 * w1)) |
+                                     ((uint64_t)((uint32_t)dbuf[i + 1] & mask) << (2 * w1)) |
+                                     ((uint64_t)((uint32_t)dbuf[i + 2] & mask) << w1) |
+                                     ((uint32_t)dbuf[i + 3] & mask);
+                        bw_bits_fast(&bw, q, 4 * w1);
+                    }
+                }
                 for (; i + 2 <= len; i += 2)
                     bw_emit<FAST>(&bw, (((uint32_t)dbuf[i] & mask) << (nb + 1)) | ((uint32_t)dbuf[i + 1] & mask),
                             2 * (nb + 1));
@@ -280,7 +308,9 @@ static int64_t encode_frame(const int16_t* wav, int32_t n, const X3Params* p,
     int32_t bl = p->block_len;
     int64_t nblocks = (n - 1 + bl - 1) / bl;
     int64_t bound = 4 + (16 + nblocks * 6 + (int64_t)(n - 1) * 16 + 7) / 8;
-    if (cap - 20 >= bound)
+    // +8: the fast emitter's unconditional 8-byte store may scribble past
+    // the current length; those scratch bytes never exceed bound + 8.
+    if (cap - 20 >= bound + 8)
         encode_frame_blocks<true>(wav, n, p, &bw, stats);
     else
         encode_frame_blocks<false>(wav, n, p, &bw, stats);
@@ -460,17 +490,40 @@ int32_t x3_decode_frame(const uint8_t* payload, int64_t payload_len,
         if (ftype == 0) {
             int32_t nb = (int32_t)br_nbits(&br, 4) + 1;
             if (nb <= 5) return -2;  // FrameDecodeInvalidBPF
+            // Fixed-width bursts: refill once, then extract straight off the
+            // reservoir with no per-sample refill branch.  Reads past the
+            // data end see zero-fill, exactly br_nbits' semantics, so no
+            // tail guard is needed; pos settles once per burst.
             if (nb == 16) {
-                for (int32_t i = 0; i < len; i++) {
-                    last = (int16_t)br_nbits(&br, 16);
-                    wav[done + i] = last;
+                int32_t i = 0;
+                while (i < len) {
+                    br_refill(&br);
+                    uint64_t c = br.cache;
+                    int32_t nc = br.ncache, n0 = nc;
+                    while (i < len && nc >= 16) {
+                        last = (int16_t)(c >> 48);
+                        c <<= 16;
+                        nc -= 16;
+                        wav[done + i++] = last;
+                    }
+                    br.cache = c; br.ncache = nc; br.pos += n0 - nc;
                 }
             } else {
-                for (int32_t i = 0; i < len; i++) {
-                    int32_t a = (int32_t)br_nbits(&br, nb);
-                    if (a > (1 << (nb - 1))) a -= 1 << nb;  // asymmetric fold
-                    last = (int16_t)(last + a);
-                    wav[done + i] = last;
+                int32_t half = 1 << (nb - 1), full = 1 << nb;
+                int32_t i = 0;
+                while (i < len) {
+                    br_refill(&br);
+                    uint64_t c = br.cache;
+                    int32_t nc = br.ncache, n0 = nc;
+                    while (i < len && nc >= nb) {
+                        int32_t a = (int32_t)(c >> (64 - nb));
+                        c <<= nb;
+                        nc -= nb;
+                        if (a > half) a -= full;  // asymmetric fold
+                        last = (int16_t)(last + a);
+                        wav[done + i++] = last;
+                    }
+                    br.cache = c; br.ncache = nc; br.pos += n0 - nc;
                 }
             }
         } else {
@@ -483,56 +536,85 @@ int32_t x3_decode_frame(const uint8_t* payload, int64_t payload_len,
                 case 2: inv_len = 44; break;
                 default: inv_len = 60; break;
             }
+            // Unary-code bursts: in the stream interior every reservoir bit
+            // is genuine payload (pos + ncache <= len*8), so the per-code
+            // tail cap cannot engage and clz/shift consume is always valid
+            // while the cache is nonzero — one refill serves a whole run of
+            // codes with no guards, and pos settles once per burst.  The
+            // payload tail and all-zero windows take the exact slow path
+            // (br_zeros caps the run at the data end, bitreader.rs:129-139).
             if (ftype == 1) {
-                for (int32_t i = 0; i < len; i++) {
-                    // Fast path: one refill serves zeros + stop bit (legit
-                    // codes are <= 16 bits and the reservoir holds >= 57).
-                    if (br.ncache < 32) br_refill(&br);
-                    int32_t z;
-                    if (br.cache != 0 &&
-                        (z = __builtin_clzll(br.cache)) + 1 <= (int32_t)(br.len * 8 - br.pos)) {
-                        br.cache <<= z + 1;
-                        br.ncache -= z + 1;
-                        br.pos += z + 1;
+                int32_t i = 0;
+                while (i < len) {
+                    if (br.ncache <= 56) br_refill(&br);
+                    if (br.pos + br.ncache <= br.len * 8 && br.ncache >= inv_len) {
+                        uint64_t c = br.cache;
+                        int32_t nc = br.ncache, n0 = nc;
+                        // While nc >= inv_len, any legal code (z+1 <= inv_len)
+                        // is fully cached; clz(c|1) needs no zero test — if
+                        // the top nc real bits are all zero the run is al-
+                        // ready >= inv_len long, and the `|1` sentinel makes
+                        // z read >= nc >= inv_len, hitting the same -3.
+                        do {
+                            int32_t z = __builtin_clzll(c | 1);
+                            if (z >= inv_len) return -3;  // OutOfBoundsInverse
+                            c <<= z + 1;  // z+1 <= inv_len <= 60 < 64
+                            nc -= z + 1;
+                            int32_t inv = (z & 1) ? -((z + 1) >> 1) : (z >> 1);
+                            last = (int16_t)(last + inv);
+                            wav[done + i++] = last;
+                        } while (i < len && nc >= inv_len);
+                        br.cache = c; br.ncache = nc; br.pos += n0 - nc;
                     } else {  // all-zero window / payload tail: exact slow path
-                        z = br_zeros(&br);
+                        int32_t z = br_zeros(&br);
                         br_skip1(&br);
+                        if (z >= inv_len) return -3;
+                        int32_t inv = (z & 1) ? -((z + 1) >> 1) : (z >> 1);
+                        last = (int16_t)(last + inv);
+                        wav[done + i++] = last;
                     }
-                    if (z >= inv_len) return -3;  // OutOfBoundsInverse
-                    int32_t inv = (z & 1) ? -((z + 1) >> 1) : (z >> 1);
-                    last = (int16_t)(last + inv);
-                    wav[done + i] = last;
                 }
             } else {
                 int32_t nbsuf = (ftype == 2) ? 2 : 4;  // decoder.rs:180 quirk
                 int32_t level = 1 << order;            // 1 << nsubs
-                for (int32_t i = 0; i < len; i++) {
-                    // One refill serves the unary run + suffix when the
-                    // whole code is in the reservoir (the common case).
-                    if (br.ncache < 32) br_refill(&br);
-                    int32_t z, r;
-                    if (br.cache != 0) {
-                        z = __builtin_clzll(br.cache);
-                        int64_t remaining = br.len * 8 - br.pos;
-                        if (z <= remaining && z + nbsuf <= br.ncache) {
-                            uint64_t c = br.cache << z;
-                            r = (int32_t)(c >> (64 - nbsuf));
-                            br.cache = c << nbsuf;
-                            br.ncache -= z + nbsuf;
-                            br.pos += z + nbsuf;
-                        } else {
-                            z = br_zeros(&br);
-                            r = (int32_t)br_nbits(&br, nbsuf);
-                        }
+                // Any run longer than zcap makes idx = r + level*(z-1)
+                // overrun the inverse table for every r >= 0, so z > zcap
+                // is -3 without needing the exact run length; maxcode bounds
+                // a whole legal code, so `nc >= maxcode` keeps every decode
+                // fully cached and makes clz(c|1) safe (an all-zero valid
+                // region reads as z >= nc >= maxcode > zcap -> same -3).
+                int32_t zcap = (inv_len - 1) / level + 1;
+                int32_t maxcode = zcap + nbsuf;
+                uint32_t sufmask = (1u << nbsuf) - 1;
+                int32_t i = 0;
+                while (i < len) {
+                    if (br.ncache <= 56) br_refill(&br);
+                    if (br.pos + br.ncache <= br.len * 8 && br.ncache >= maxcode) {
+                        uint64_t c = br.cache;
+                        int32_t nc = br.ncache, n0 = nc;
+                        do {
+                            int32_t z = __builtin_clzll(c | 1);
+                            if (z > zcap) return -3;  // OutOfBoundsInverse
+                            int32_t adv = z + nbsuf;  // one combined shift:
+                            int32_t r = (int32_t)((c >> (64 - adv)) & sufmask);
+                            c <<= adv;
+                            nc -= adv;
+                            int32_t idx = r + level * (z - 1);
+                            if (idx < 0 || idx >= inv_len) return -3;
+                            int32_t inv = (idx & 1) ? -((idx + 1) >> 1) : (idx >> 1);
+                            last = (int16_t)(last + inv);
+                            wav[done + i++] = last;
+                        } while (i < len && nc >= maxcode);
+                        br.cache = c; br.ncache = nc; br.pos += n0 - nc;
                     } else {
-                        z = br_zeros(&br);
-                        r = (int32_t)br_nbits(&br, nbsuf);
+                        int32_t z = br_zeros(&br);
+                        int32_t r = (int32_t)br_nbits(&br, nbsuf);
+                        int32_t idx = r + level * (z - 1);
+                        if (idx < 0 || idx >= inv_len) return -3;
+                        int32_t inv = (idx & 1) ? -((idx + 1) >> 1) : (idx >> 1);
+                        last = (int16_t)(last + inv);
+                        wav[done + i++] = last;
                     }
-                    int32_t idx = r + level * (z - 1);
-                    if (idx < 0 || idx >= inv_len) return -3;
-                    int32_t inv = (idx & 1) ? -((idx + 1) >> 1) : (idx >> 1);
-                    last = (int16_t)(last + inv);
-                    wav[done + i] = last;
                 }
             }
         }
