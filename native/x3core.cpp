@@ -16,6 +16,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <mutex>
 #include <thread>
 #include <vector>
 
@@ -475,6 +476,108 @@ static inline int32_t br_zeros(BitReader* br) {
     return c + z;
 }
 
+// ---------------------------------------------------------------------------
+// Multi-code decode LUTs: a W-bit peek of the reservoir decodes SEVERAL
+// complete Rice codes per table lookup (classic multi-symbol Huffman
+// decode), replacing the serial clz -> shift -> clz chain with one load
+// plus register nibble extracts.  Entries hold only codes that are fully
+// contained AND valid in the window; anything else (incomplete run, z past
+// the table bound, negative idx) terminates the entry, so an invalid code
+// is always re-seen as the FIRST code of a later lookup, where cnt==0
+// routes to the exact scalar path that raises the proper error.  Tables
+// are pure functions of (window bits, code geometry) — decode order and
+// results are bit-identical to the scalar walk.
+//
+// Unary codes (ftype 1): 12-bit window, u64 entries
+//   cnt(4) | bits(4) | up to 12 x 4-bit signed inv nibbles (z <= 11 in a
+//   12-bit window -> inv in [-6, 6], fits a nibble).  4096 * 8 B = 32 KB.
+// Suffix codes (ftype 2/3): 16-bit window, u32 entries
+//   cnt(2) | bits(5) | up to 3 x 6-bit signed inv (inv_len <= 60 ->
+//   inv in [-30, 30]).  65536 * 4 B = 256 KB per (nbsuf, order) config.
+
+#define X3_ULUT_W 12
+#define X3_SLUT_W 16
+
+struct UnaryLut { uint64_t e[1u << X3_ULUT_W]; };
+struct SuffixLut { uint32_t e[1u << X3_SLUT_W]; };
+
+static void build_unary_lut(UnaryLut* t, int32_t inv_len) {
+    for (uint32_t k = 0; k < (1u << X3_ULUT_W); k++) {
+        uint32_t win = k << (32 - X3_ULUT_W);  // left-aligned window
+        int32_t used = 0, cnt = 0;
+        uint64_t nibs = 0;
+        while (used < X3_ULUT_W) {
+            uint32_t rest = win << used;
+            int32_t avail = X3_ULUT_W - used;
+            int32_t z = rest ? __builtin_clz(rest) : 32;
+            if (z >= avail) break;   // run continues past the window
+            if (z >= inv_len) break; // invalid: leave as first code -> scalar -3
+            int32_t inv = (z & 1) ? -((z + 1) >> 1) : (z >> 1);
+            nibs |= (uint64_t)((uint32_t)inv & 15u) << (4 * cnt);
+            used += z + 1;
+            cnt++;
+        }
+        t->e[k] = (uint64_t)cnt | ((uint64_t)used << 4) | (nibs << 8);
+    }
+}
+
+static void build_suffix_lut(SuffixLut* t, int32_t nbsuf, int32_t level, int32_t inv_len) {
+    int32_t zcap = (inv_len - 1) / level + 1;
+    for (uint32_t k = 0; k < (1u << X3_SLUT_W); k++) {
+        uint32_t win = k << (32 - X3_SLUT_W);
+        int32_t used = 0, cnt = 0;
+        uint32_t invs = 0;
+        while (cnt < 3) {
+            int32_t avail = X3_SLUT_W - used;
+            if (avail <= 0) break;
+            uint32_t rest = win << used;
+            int32_t z = rest ? __builtin_clz(rest) : 32;
+            if (z >= avail) break;  // run continues past the window
+            if (z > zcap) break;    // invalid: scalar path raises -3
+            // The stop bit is r's MSB (decoder.rs:180 hardwired-suffix
+            // quirk): a code is z zeros + nbsuf bits, nothing in between.
+            int32_t need = z + nbsuf;
+            if (used + need > X3_SLUT_W) break;  // suffix incomplete
+            uint32_t r = (uint32_t)(rest >> (32 - need)) & ((1u << nbsuf) - 1);
+            int32_t idx = (int32_t)r + level * (z - 1);
+            if (idx < 0 || idx >= inv_len) break;  // invalid: scalar -3
+            int32_t inv = (idx & 1) ? -((idx + 1) >> 1) : (idx >> 1);
+            invs |= ((uint32_t)inv & 63u) << (7 + 6 * cnt);
+            used += need;
+            cnt++;
+        }
+        t->e[k] = (uint32_t)cnt | ((uint32_t)used << 2) | invs;
+    }
+}
+
+// Lazily built, thread-safe (decode_frames_mt calls from worker threads),
+// keyed by the code geometry actually in use: unary by order (inv_len),
+// suffix by (nbsuf in {2,4}, order in 0..3).
+static const UnaryLut* unary_lut(int32_t order) {
+    static UnaryLut* tabs[4];
+    static std::once_flag flags[4];
+    static const int32_t ilens[4] = {16, 26, 44, 60};
+    std::call_once(flags[order], [order] {
+        tabs[order] = new UnaryLut;
+        build_unary_lut(tabs[order], ilens[order]);
+    });
+    return tabs[order];
+}
+
+static const SuffixLut* suffix_lut(int32_t nbsuf, int32_t order) {
+    static SuffixLut* tabs[2][4];
+    static std::once_flag flags[2][4];
+    static const int32_t ilens[4] = {16, 26, 44, 60};
+    int32_t ni = nbsuf == 4 ? 1 : 0;
+    std::call_once(flags[ni][order], [ni, order, nbsuf] {
+        tabs[ni][order] = new SuffixLut;
+        build_suffix_lut(tabs[ni][order], nbsuf, 1 << order, ilens[order]);
+    });
+    return tabs[ni][order];
+}
+
+static inline int32_t sext6(uint32_t v) { return ((int32_t)(v & 63u) << 26) >> 26; }
+
 // Decode one frame payload into wav.  Returns 0 on success, <0 error code.
 int32_t x3_decode_frame(const uint8_t* payload, int64_t payload_len,
                         const X3Params* p, int32_t samples, int16_t* wav) {
@@ -544,26 +647,54 @@ int32_t x3_decode_frame(const uint8_t* payload, int64_t payload_len,
             // payload tail and all-zero windows take the exact slow path
             // (br_zeros caps the run at the data end, bitreader.rs:129-139).
             if (ftype == 1) {
+                const UnaryLut* ul = unary_lut(order);
+                // Fast-loop guard: the LUT window AND one worst-case scalar
+                // code must be fully cached (clz of the c|1 sentinel on an
+                // all-zero valid region then reads z >= nc >= inv_len ->
+                // the same -3 the exact path raises).
+                int32_t uthresh = X3_ULUT_W > inv_len ? X3_ULUT_W : inv_len;
                 int32_t i = 0;
                 while (i < len) {
                     if (br.ncache <= 56) br_refill(&br);
-                    if (br.pos + br.ncache <= br.len * 8 && br.ncache >= inv_len) {
+                    if (br.pos + br.ncache <= br.len * 8 && br.ncache >= uthresh) {
                         uint64_t c = br.cache;
                         int32_t nc = br.ncache, n0 = nc;
-                        // While nc >= inv_len, any legal code (z+1 <= inv_len)
-                        // is fully cached; clz(c|1) needs no zero test — if
-                        // the top nc real bits are all zero the run is al-
-                        // ready >= inv_len long, and the `|1` sentinel makes
-                        // z read >= nc >= inv_len, hitting the same -3.
-                        do {
+                        while (i < len && nc >= uthresh) {
+                            uint64_t e = ul->e[(uint32_t)(c >> (64 - X3_ULUT_W))];
+                            int32_t cnt = (int32_t)(e & 15);
+                            if (!cnt) {  // first code spans past the window,
+                                         // or is invalid: exact scalar decode
+                                int32_t z = __builtin_clzll(c | 1);
+                                if (z >= inv_len) return -3;  // OutOfBoundsInverse
+                                c <<= z + 1;  // z+1 <= inv_len <= 60 < 64
+                                nc -= z + 1;
+                                int32_t inv = (z & 1) ? -((z + 1) >> 1) : (z >> 1);
+                                last = (int16_t)(last + inv);
+                                wav[done + i++] = last;
+                                continue;
+                            }
+                            if (i + cnt > len) break;  // block tail: scalar below
+                            int32_t bits = (int32_t)((e >> 4) & 15);
+                            uint64_t nib = e >> 8;
+                            for (int32_t k = 0; k < cnt; k++) {
+                                int32_t inv = ((int32_t)((uint32_t)nib & 15u) << 28) >> 28;
+                                nib >>= 4;
+                                last = (int16_t)(last + inv);
+                                wav[done + i++] = last;
+                            }
+                            c <<= bits; nc -= bits;
+                        }
+                        // Block-tail codes (fewer than the entry holds):
+                        // exact scalar burst off the same cached reservoir.
+                        while (i < len && nc >= inv_len) {
                             int32_t z = __builtin_clzll(c | 1);
-                            if (z >= inv_len) return -3;  // OutOfBoundsInverse
-                            c <<= z + 1;  // z+1 <= inv_len <= 60 < 64
+                            if (z >= inv_len) return -3;
+                            c <<= z + 1;
                             nc -= z + 1;
                             int32_t inv = (z & 1) ? -((z + 1) >> 1) : (z >> 1);
                             last = (int16_t)(last + inv);
                             wav[done + i++] = last;
-                        } while (i < len && nc >= inv_len);
+                        }
                         br.cache = c; br.ncache = nc; br.pos += n0 - nc;
                     } else {  // all-zero window / payload tail: exact slow path
                         int32_t z = br_zeros(&br);
@@ -586,16 +717,51 @@ int32_t x3_decode_frame(const uint8_t* payload, int64_t payload_len,
                 int32_t zcap = (inv_len - 1) / level + 1;
                 int32_t maxcode = zcap + nbsuf;
                 uint32_t sufmask = (1u << nbsuf) - 1;
+                const SuffixLut* sl = suffix_lut(nbsuf, order);
+                // Guard covers the LUT window and one worst-case scalar code
+                // (clz(c|1) on an all-zero valid region reads z >= nc >=
+                // maxcode > zcap -> the same -3 the exact path raises).
+                int32_t sthresh = X3_SLUT_W > maxcode ? X3_SLUT_W : maxcode;
                 int32_t i = 0;
                 while (i < len) {
                     if (br.ncache <= 56) br_refill(&br);
-                    if (br.pos + br.ncache <= br.len * 8 && br.ncache >= maxcode) {
+                    if (br.pos + br.ncache <= br.len * 8 && br.ncache >= sthresh) {
                         uint64_t c = br.cache;
                         int32_t nc = br.ncache, n0 = nc;
-                        do {
+                        while (i < len && nc >= sthresh) {
+                            uint32_t e = sl->e[(uint32_t)(c >> (64 - X3_SLUT_W))];
+                            int32_t cnt = (int32_t)(e & 3);
+                            if (!cnt) {  // first code spans past the window,
+                                         // or is invalid: exact scalar decode
+                                int32_t z = __builtin_clzll(c | 1);
+                                if (z > zcap) return -3;  // OutOfBoundsInverse
+                                int32_t adv = z + nbsuf;
+                                int32_t r = (int32_t)((c >> (64 - adv)) & sufmask);
+                                c <<= adv;
+                                nc -= adv;
+                                int32_t idx = r + level * (z - 1);
+                                if (idx < 0 || idx >= inv_len) return -3;
+                                int32_t inv = (idx & 1) ? -((idx + 1) >> 1) : (idx >> 1);
+                                last = (int16_t)(last + inv);
+                                wav[done + i++] = last;
+                                continue;
+                            }
+                            if (i + cnt > len) break;  // block tail: scalar below
+                            int32_t bits = (int32_t)((e >> 2) & 31);
+                            uint32_t invs = e >> 7;
+                            for (int32_t k = 0; k < cnt; k++) {
+                                last = (int16_t)(last + sext6(invs));
+                                invs >>= 6;
+                                wav[done + i++] = last;
+                            }
+                            c <<= bits; nc -= bits;
+                        }
+                        // Block-tail codes: exact scalar burst off the same
+                        // cached reservoir.
+                        while (i < len && nc >= maxcode) {
                             int32_t z = __builtin_clzll(c | 1);
-                            if (z > zcap) return -3;  // OutOfBoundsInverse
-                            int32_t adv = z + nbsuf;  // one combined shift:
+                            if (z > zcap) return -3;
+                            int32_t adv = z + nbsuf;
                             int32_t r = (int32_t)((c >> (64 - adv)) & sufmask);
                             c <<= adv;
                             nc -= adv;
@@ -604,7 +770,7 @@ int32_t x3_decode_frame(const uint8_t* payload, int64_t payload_len,
                             int32_t inv = (idx & 1) ? -((idx + 1) >> 1) : (idx >> 1);
                             last = (int16_t)(last + inv);
                             wav[done + i++] = last;
-                        } while (i < len && nc >= maxcode);
+                        }
                         br.cache = c; br.ncache = nc; br.pos += n0 - nc;
                     } else {
                         int32_t z = br_zeros(&br);
