@@ -127,3 +127,33 @@ def test_native_encode_tight_caps_exercise_safe_writer(rng):
         else:
             assert wrote == -1
         assert (out[cap:] == 0xAB).all()  # never writes past cap
+
+
+@pytest.mark.parametrize("scale", [1, 2, 3, 5, 8, 12, 15, 22, 30])
+def test_native_decode_lut_boundary_sweep(rng, scale):
+    """Sweep diff magnitudes so every Rice code length occurs, at every bit
+    alignment relative to the decoder's multi-symbol LUT windows (12-bit
+    unary / 16-bit suffix): codes straddling a window boundary, blocks
+    ending mid-LUT-entry, and dense short-code runs must all decode
+    bit-identically to the oracle."""
+    steps = rng.integers(-scale, scale + 1, 8_000)
+    # occasional spikes force block-type transitions (and long unary runs)
+    spikes = (rng.random(8_000) < 0.02) * rng.integers(-60, 61, 8_000)
+    wav = (np.cumsum(steps + spikes) % 4001 - 2000).astype(np.int16)
+    stream = native.encode(wav, P)
+    assert stream == oracle.encode(wav, P)
+    idx = native.index_frames(stream, 0)
+    out = native.decode_frames_mt(stream, idx, P, nthreads=1)
+    np.testing.assert_array_equal(out, wav)
+
+
+def test_native_decode_zero_runs(rng):
+    """Long all-zero diff runs: the all-zero reservoir window must route to
+    the exact slow path (unary end-of-data cap semantics) inside the LUT
+    burst loops."""
+    wav = np.repeat(rng.integers(-500, 500, 40), 500).astype(np.int16)
+    stream = native.encode(wav, P)
+    assert stream == oracle.encode(wav, P)
+    idx = native.index_frames(stream, 0)
+    out = native.decode_frames_mt(stream, idx, P, nthreads=1)
+    np.testing.assert_array_equal(out, wav)
