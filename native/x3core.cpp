@@ -492,8 +492,9 @@ static inline int32_t br_zeros(BitReader* br) {
 //   cnt(4) | bits(4) | up to 12 x 4-bit signed inv nibbles (z <= 11 in a
 //   12-bit window -> inv in [-6, 6], fits a nibble).  4096 * 8 B = 32 KB.
 // Suffix codes (ftype 2/3): 16-bit window, u32 entries
-//   cnt(2) | bits(5) | up to 3 x 6-bit signed inv (inv_len <= 60 ->
-//   inv in [-30, 30]).  65536 * 4 B = 256 KB per (nbsuf, order) config.
+//   cnt(3) | bits(5) | up to 4 x 6-bit signed inv (inv_len <= 60 ->
+//   inv in [-30, 30]) = exactly 32 bits.  65536 * 4 B = 256 KB per
+//   (nbsuf, order) config.
 
 #define X3_ULUT_W 12
 #define X3_SLUT_W 16
@@ -527,7 +528,7 @@ static void build_suffix_lut(SuffixLut* t, int32_t nbsuf, int32_t level, int32_t
         uint32_t win = k << (32 - X3_SLUT_W);
         int32_t used = 0, cnt = 0;
         uint32_t invs = 0;
-        while (cnt < 3) {
+        while (cnt < 4) {
             int32_t avail = X3_SLUT_W - used;
             if (avail <= 0) break;
             uint32_t rest = win << used;
@@ -542,11 +543,11 @@ static void build_suffix_lut(SuffixLut* t, int32_t nbsuf, int32_t level, int32_t
             int32_t idx = (int32_t)r + level * (z - 1);
             if (idx < 0 || idx >= inv_len) break;  // invalid: scalar -3
             int32_t inv = (idx & 1) ? -((idx + 1) >> 1) : (idx >> 1);
-            invs |= ((uint32_t)inv & 63u) << (7 + 6 * cnt);
+            invs |= ((uint32_t)inv & 63u) << (8 + 6 * cnt);
             used += need;
             cnt++;
         }
-        t->e[k] = (uint32_t)cnt | ((uint32_t)used << 2) | invs;
+        t->e[k] = (uint32_t)cnt | ((uint32_t)used << 3) | invs;
     }
 }
 
@@ -730,7 +731,7 @@ int32_t x3_decode_frame(const uint8_t* payload, int64_t payload_len,
                         int32_t nc = br.ncache, n0 = nc;
                         while (i < len && nc >= sthresh) {
                             uint32_t e = sl->e[(uint32_t)(c >> (64 - X3_SLUT_W))];
-                            int32_t cnt = (int32_t)(e & 3);
+                            int32_t cnt = (int32_t)(e & 7);
                             if (!cnt) {  // first code spans past the window,
                                          // or is invalid: exact scalar decode
                                 int32_t z = __builtin_clzll(c | 1);
@@ -747,8 +748,8 @@ int32_t x3_decode_frame(const uint8_t* payload, int64_t payload_len,
                                 continue;
                             }
                             if (i + cnt > len) break;  // block tail: scalar below
-                            int32_t bits = (int32_t)((e >> 2) & 31);
-                            uint32_t invs = e >> 7;
+                            int32_t bits = (int32_t)((e >> 3) & 31);
+                            uint32_t invs = e >> 8;
                             for (int32_t k = 0; k < cnt; k++) {
                                 last = (int16_t)(last + sext6(invs));
                                 invs >>= 6;
