@@ -20,6 +20,11 @@
 #include <thread>
 #include <vector>
 
+#if defined(__PCLMUL__) && defined(__SSSE3__)
+#include <immintrin.h>
+#define X3_HAVE_CLMUL 1
+#endif
+
 extern "C" {
 
 // ---------------------------------------------------------------------------
@@ -30,10 +35,24 @@ static uint16_t CRC_TABLE[256];
 // Slice-by-8 tables: CRC_SLICE[k][x] is table T[x] advanced by k zero bytes
 // (CRC tables are GF(2)-linear, so 8 bytes fold with 8 independent lookups).
 static uint16_t CRC_SLICE[8][256];
+static uint16_t CRC_FOLD_K[4];  // x^128, x^192, x^512, x^576 mod P (clmul folds)
 static bool crc_init_done = false;
+
+static uint16_t crc16_xpow_mod(int n) {
+    uint32_t v = 1;  // x^0
+    for (int i = 0; i < n; i++) {
+        v <<= 1;
+        if (v & 0x10000) v ^= 0x11021;
+    }
+    return (uint16_t)v;
+}
 
 static void crc_init() {
     if (crc_init_done) return;
+    CRC_FOLD_K[0] = crc16_xpow_mod(128);
+    CRC_FOLD_K[1] = crc16_xpow_mod(192);
+    CRC_FOLD_K[2] = crc16_xpow_mod(512);
+    CRC_FOLD_K[3] = crc16_xpow_mod(576);
     for (int i = 0; i < 256; i++) {
         uint16_t crc = (uint16_t)(i << 8);
         for (int b = 0; b < 8; b++)
@@ -49,9 +68,7 @@ static void crc_init() {
     crc_init_done = true;
 }
 
-uint16_t x3_crc16(const uint8_t* data, int64_t len) {
-    crc_init();
-    uint16_t crc = 0xffff;
+static inline uint16_t crc16_table(uint16_t crc, const uint8_t* data, int64_t len) {
     int64_t i = 0;
     // Slice-by-8 main loop: the state only folds into the first two bytes.
     for (; i + 8 <= len; i += 8) {
@@ -64,6 +81,66 @@ uint16_t x3_crc16(const uint8_t* data, int64_t len) {
     for (; i < len; i++)
         crc = (uint16_t)((crc << 8) ^ CRC_TABLE[(uint8_t)(data[i] ^ (crc >> 8))]);
     return crc;
+}
+
+#ifdef X3_HAVE_CLMUL
+// Carry-less-multiply folding CRC (Intel PCLMULQDQ technique, adapted to a
+// degree-16 polynomial).  The message is a GF(2) polynomial, MSB-first;
+// 128-bit accumulators hold unreduced partial products (bit i = coeff of
+// x^i, so registers are byte-REVERSED on load).  One fold step computes
+//   acc*x^D + next  ==  clmul(acc_hi, x^(D+64) mod P)
+//                     ^ clmul(acc_lo, x^D mod P) ^ next   (mod P)
+// with D = 512 (four interleaved lanes, 64 bytes/iter, hides the ~7-cycle
+// clmul latency) then D = 128 (lane merge + tail blocks).  The <=16-bit
+// fold constants are computed at init (x^N mod P), not hardcoded.  The
+// final 128-bit value A is finished exactly: the answer is x^16*A mod P,
+// which IS the table-CRC (init 0) of A's 16 bytes, then the byte tail
+// continues through the table path.  Bit-identical to crc16_table.
+static inline __m128i crc16_ldrev(const uint8_t* p, __m128i rev) {
+    return _mm_shuffle_epi8(_mm_loadu_si128((const __m128i*)p), rev);
+}
+
+static inline __m128i crc16_fold(__m128i acc, __m128i next, __m128i k) {
+    __m128i h = _mm_clmulepi64_si128(acc, k, 0x11);  // acc_hi * x^(D+64) mod P
+    __m128i l = _mm_clmulepi64_si128(acc, k, 0x00);  // acc_lo * x^D     mod P
+    return _mm_xor_si128(_mm_xor_si128(h, l), next);
+}
+
+static uint16_t crc16_clmul(const uint8_t* data, int64_t len) {
+    const __m128i REV = _mm_set_epi8(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15);
+    const __m128i K512 = _mm_set_epi64x((int64_t)CRC_FOLD_K[3], (int64_t)CRC_FOLD_K[2]);
+    const __m128i K128 = _mm_set_epi64x((int64_t)CRC_FOLD_K[1], (int64_t)CRC_FOLD_K[0]);
+    __m128i a0 = crc16_ldrev(data, REV);
+    __m128i a1 = crc16_ldrev(data + 16, REV);
+    __m128i a2 = crc16_ldrev(data + 32, REV);
+    __m128i a3 = crc16_ldrev(data + 48, REV);
+    // init 0xffff = complement of the first 16 message bits (reg bits 112..127)
+    a0 = _mm_xor_si128(a0, _mm_set_epi64x((int64_t)0xffff000000000000ULL, 0));
+    int64_t i = 64;
+    for (; i + 64 <= len; i += 64) {
+        a0 = crc16_fold(a0, crc16_ldrev(data + i, REV), K512);
+        a1 = crc16_fold(a1, crc16_ldrev(data + i + 16, REV), K512);
+        a2 = crc16_fold(a2, crc16_ldrev(data + i + 32, REV), K512);
+        a3 = crc16_fold(a3, crc16_ldrev(data + i + 48, REV), K512);
+    }
+    // merge lanes: message == ((a0*x^128 ^ a1)*x^128 ^ a2)*x^128 ^ a3 (mod P)
+    __m128i acc = crc16_fold(a0, a1, K128);
+    acc = crc16_fold(acc, a2, K128);
+    acc = crc16_fold(acc, a3, K128);
+    for (; i + 16 <= len; i += 16) acc = crc16_fold(acc, crc16_ldrev(data + i, REV), K128);
+    uint8_t tmp[16];
+    _mm_storeu_si128((__m128i*)tmp, _mm_shuffle_epi8(acc, REV));
+    uint16_t crc = crc16_table(0, tmp, 16);  // = x^16 * acc mod P, exactly
+    return crc16_table(crc, data + i, len - i);
+}
+#endif  // X3_HAVE_CLMUL
+
+uint16_t x3_crc16(const uint8_t* data, int64_t len) {
+    crc_init();
+#ifdef X3_HAVE_CLMUL
+    if (len >= 64) return crc16_clmul(data, len);
+#endif
+    return crc16_table(0xffff, data, len);
 }
 
 // ---------------------------------------------------------------------------
