@@ -955,6 +955,7 @@ int64_t x3_index_frames(const uint8_t* data, int64_t len, int64_t start,
         if (h[0] != 0x78 || h[1] != 0x33) break;
         uint16_t expect = (uint16_t)((h[16] << 8) | h[17]);
         if (x3_crc16(h, 16) != expect) break;
+        if (h[3] > 1) break;  // channels byte (walker raises MoreThanOneChannel)
         int32_t pl = (h[6] << 8) | h[7];
         if (pl >= 0x7fe0 || len - (pos + 20) < pl) break;
         payload_offsets[count] = pos + 20;

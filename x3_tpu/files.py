@@ -29,7 +29,12 @@ import numpy as np
 
 from . import archive
 from .engine import resolve_engine
-from .errors import FrameHeaderInvalidPayloadCRC, MoreThanOneChannel, X3Error
+from .errors import (
+    FrameHeaderInvalidPayloadCRC,
+    FrameHeaderInvalidPayloadLen,
+    MoreThanOneChannel,
+    X3Error,
+)
 from .models.decoder import decode_frames_batch
 from .models.encoder import EncodeResult
 from .models import oracle
@@ -174,6 +179,86 @@ def _decode_payload_batch(payloads, headers, params: Parameters, engine: str, re
     return outs, errs
 
 
+# Sequential read size for the chunked native decode path: large enough to
+# amortize the per-call ctypes/thread cost over ~600 frames, small enough to
+# keep peak RSS flat (bounded-memory invariant) on any archive size.
+_NATIVE_CHUNK_BYTES = 4 << 20
+
+
+def _x3a_to_wav_native_stream(f, wout, start: int, params: Parameters) -> int:
+    """Chunked native decode: sequential reads, native header walk
+    (x3_index_frames validates header CRCs at clmul speed), and one threaded
+    native decode per chunk with the payload-CRC check fused — no per-frame
+    Python.  Accept/reject parity with the walk_frames_file path: chunk
+    tails that the native walk stops at are re-parsed with
+    archive.read_frame_header, which raises the walker's exact error class
+    (header CRC/key/length/channels), and a payload overrunning the file
+    end raises FrameHeaderInvalidPayloadLen with the walker's message."""
+    from . import native as native_mod
+
+    f.seek(0, 2)
+    n = f.tell()
+    pos = start
+    carry = b""
+    base = 0  # global frame number of the first frame in the current blob
+    while True:
+        eof = pos >= n
+        if not eof:
+            f.seek(pos)
+            chunk = f.read(_NATIVE_CHUNK_BYTES)
+            pos += len(chunk)
+            eof = pos >= n
+            blob = carry + chunk if carry else chunk
+        else:
+            blob = carry
+        if not blob:
+            return 0
+        idx = native_mod.index_frames(blob, 0)
+        consumed = (idx[-1][0] + idx[-1][2]) if idx else 0
+        if idx:
+            crcs = [int.from_bytes(blob[o - 2 : o], "big") for o, _, _ in idx]
+            try:
+                flat = native_mod.decode_frames_mt(blob, idx, params, expected_crcs=crcs)
+            except FrameHeaderInvalidPayloadCRC:
+                payloads = [blob[o : o + l] for o, _, l in idx]
+                bad = int(np.nonzero(~archive.verify_payload_crcs_parts(payloads, crcs))[0][0])
+                raise FrameHeaderInvalidPayloadCRC(f"frame {base + bad} payload CRC mismatch")
+            except X3Error:
+                # A frame failed to decode: per-frame fallback for the
+                # reference's stop-at-first-bad accounting (decodefile.rs
+                # swallowed Ok(None) — see x3a_to_wav's generic path).
+                for i, (o, s, l) in enumerate(idx):
+                    try:
+                        wout.write(native_mod.decode_frame(blob[o : o + l], params, s))
+                    except X3Error:
+                        print(f"Frame error: frame {base + i} failed to decode")
+                        return 1
+                raise  # mt failed but every frame decodes alone: real bug
+            wout.write(flat)
+            base += len(idx)
+        carry = blob[consumed:]
+        if eof:
+            # Walker parity at the stream tail (walk_frames_file): <= 20
+            # trailing bytes end the walk silently; anything longer is a
+            # frame the native walk rejected — re-parse for the exact error.
+            if len(carry) <= 20:
+                return 0
+            header = archive.read_frame_header(carry[:20])  # raises key/CRC/len/channels
+            at = n - len(carry)
+            raise FrameHeaderInvalidPayloadLen(
+                f"frame at {at}: payload {header.payload_len} B overruns "
+                f"the remaining {len(carry) - 20} B"
+            )
+        if not idx and len(carry) > 20 + 0x7FE0:
+            # No frame can span this much carry (payloads cap at 0x7fe0,
+            # x3.rs:145): the leading header is genuinely bad — re-parse to
+            # raise the walker's error class rather than buffering to EOF.
+            archive.read_frame_header(carry[:20])
+            raise FrameHeaderInvalidPayloadLen(  # pragma: no cover - defensive
+                f"frame at {n - len(carry)}: unindexable valid header"
+            )
+
+
 def _read_payloads(f, batch):
     out = []
     for off, h in batch:
@@ -208,6 +293,13 @@ def x3a_to_wav(
             print(f"Rice codes: RICE{codes[0]},RICE{codes[1]},RICE{codes[2]},BFP")
             t = spec.params.thresholds
             print(f"thresholds: {t[0]},{t[1]},{t[2]}")
+
+        if engine == "native" and not resync:
+            from . import native as native_mod
+
+            if native_mod.available():
+                with WavWriter(wav_filename, spec.sample_rate) as wout:
+                    return _x3a_to_wav_native_stream(f, wout, header_size, spec.params)
 
         with WavWriter(wav_filename, spec.sample_rate) as wout:
             walker = archive.walk_frames_file(f, header_size, resync=resync)
