@@ -230,13 +230,21 @@ def main():
         wp, xp, bp = f"{td}/b.wav", f"{td}/b.x3a", f"{td}/back.wav"
         write_wav(wp, wav, 96000)
         wav_to_x3a(wp, xp)  # warm (builds the native lib on first use)
-        t0 = time.perf_counter()
-        wav_to_x3a(wp, xp)
-        e2e_encode_mbs = e2e_mb / (time.perf_counter() - t0)
-        x3a_to_wav(xp, bp)  # warm
-        t0 = time.perf_counter()
-        errors = x3a_to_wav(xp, bp)
-        e2e_decode_mbs = e2e_mb / (time.perf_counter() - t0)
+        # best-of-3: the sandbox host has hypervisor steal-time spikes that
+        # poison single-shot wall timings (ROADMAP round-3 notes)
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            wav_to_x3a(wp, xp)
+            ts.append(time.perf_counter() - t0)
+        e2e_encode_mbs = e2e_mb / min(ts)
+        errors = x3a_to_wav(xp, bp)  # warm
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            errors = x3a_to_wav(xp, bp)
+            ts.append(time.perf_counter() - t0)
+        e2e_decode_mbs = e2e_mb / min(ts)
         back, _ = read_wav(bp)
         e2e_exact = errors == 0 and np.array_equal(back, wav)
 
