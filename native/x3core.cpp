@@ -568,13 +568,18 @@ static inline int32_t br_zeros(BitReader* br) {
 // Unary codes (ftype 1): 12-bit window, u64 entries
 //   cnt(4) | bits(4) | up to 12 x 4-bit signed inv nibbles (z <= 11 in a
 //   12-bit window -> inv in [-6, 6], fits a nibble).  4096 * 8 B = 32 KB.
-// Suffix codes (ftype 2/3): 16-bit window, u32 entries
+// Suffix codes (ftype 2/3): 13-bit window, u32 entries
 //   cnt(3) | bits(5) | up to 4 x 6-bit signed inv (inv_len <= 60 ->
-//   inv in [-30, 30]) = exactly 32 bits.  65536 * 4 B = 256 KB per
-//   (nbsuf, order) config.
+//   inv in [-30, 30]) = exactly 32 bits.  8192 * 4 B = 32 KB per
+//   (nbsuf, order) config — the window is deliberately L1-sized: each
+//   lookup's address depends on the previous code's length, so the table
+//   load is on the serial dependency chain and its LATENCY is the decode
+//   cost.  A/B on this host (48 KB L1d): W=13 beats 16 (256 KB, L2
+//   latency per peek) by ~8% on the hydrophone class and ~5% on music
+//   despite holding fewer codes per window; W=14 (64 KB) loses again.
 
 #define X3_ULUT_W 12
-#define X3_SLUT_W 16
+#define X3_SLUT_W 13
 
 struct UnaryLut { uint64_t e[1u << X3_ULUT_W]; };
 struct SuffixLut { uint32_t e[1u << X3_SLUT_W]; };
