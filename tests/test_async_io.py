@@ -1,0 +1,95 @@
+"""The bounded background writer (utils/io.py) and the WavWriter built on
+it: output bytes must be identical to the synchronous stdlib-wave path, and
+write errors must surface on the producer thread before a converter can
+return success."""
+
+import numpy as np
+import pytest
+
+from x3_tpu.utils.io import AsyncWriter
+from x3_tpu.utils.wav import WavWriter, read_wav, write_wav
+
+
+def test_async_writer_order_and_content(tmp_path):
+    p = tmp_path / "blob.bin"
+    blocks = [bytes([i]) * (1000 + i) for i in range(50)]
+    with open(p, "wb") as f:
+        aw = AsyncWriter(f, depth=3)
+        for b in blocks:
+            aw.write(b)
+        aw.close()
+    assert p.read_bytes() == b"".join(blocks)
+
+
+def test_async_writer_error_propagates():
+    class Boom:
+        def write(self, data):
+            raise OSError("disk full")
+
+    aw = AsyncWriter(Boom(), depth=1)
+    with pytest.raises(OSError, match="disk full"):
+        # The first write enqueues; the error surfaces on a later call or
+        # at close — drive until it does.
+        for _ in range(10):
+            aw.write(b"x")
+        aw.close()
+    with pytest.raises(OSError, match="disk full"):
+        aw.close()  # the writer stays poisoned: no silent partial output
+
+
+def test_async_writer_close_reraises():
+    class Boom:
+        def write(self, data):
+            raise OSError("late")
+
+    aw = AsyncWriter(Boom())
+    aw.write(b"x")
+    with pytest.raises(OSError, match="late"):
+        aw.close()
+
+
+def test_wavwriter_matches_wave_module(tmp_path):
+    rng = np.random.default_rng(3)
+    samples = rng.integers(-32768, 32767, 70_001, dtype=np.int16)
+    sync_p, async_p = tmp_path / "sync.wav", tmp_path / "async.wav"
+    write_wav(sync_p, samples, 96000)  # stdlib wave module
+    with WavWriter(async_p, 96000) as w:
+        # Uneven batch sizes exercise ordering across queue refills.
+        i = 0
+        for n in (1, 999, 30_000, 17, 39_000, 10**6):
+            w.write(samples[i : i + n])
+            i += n
+        assert w.samples_written == len(samples)
+    assert async_p.read_bytes() == sync_p.read_bytes()
+    back, rate = read_wav(async_p)
+    assert rate == 96000 and np.array_equal(back, samples)
+
+
+def test_wavwriter_empty(tmp_path):
+    p = tmp_path / "empty.wav"
+    with WavWriter(p, 44100) as w:
+        assert w.samples_written == 0
+    ref = tmp_path / "ref.wav"
+    write_wav(ref, np.zeros(0, np.int16), 44100)
+    assert p.read_bytes() == ref.read_bytes()
+
+
+def test_stream_encoder_async_archive_identical(tmp_path):
+    """StreamEncoder's owned-file async path writes the same archive bytes
+    as encoding through a caller-supplied (synchronous) writer."""
+    import io
+
+    from x3_tpu.params import Parameters
+    from x3_tpu.streaming import StreamEncoder
+
+    rng = np.random.default_rng(5)
+    params = Parameters()
+    wav = np.cumsum(rng.integers(-4, 5, 10 * params.samples_per_frame + 7)).astype(np.int16)
+
+    buf = io.BytesIO()
+    with StreamEncoder(buf, 96000, params, engine="numpy", batch_frames=3) as enc:
+        enc.write(wav)
+    p = tmp_path / "a.x3a"
+    with StreamEncoder(p, 96000, params, engine="numpy", batch_frames=3) as enc2:
+        enc2.write(wav)
+    assert p.read_bytes() == buf.getvalue()

@@ -55,10 +55,20 @@ class StreamEncoder:
         self._closed = False
         self._own_file = isinstance(out_file, (str, bytes)) or hasattr(out_file, "__fspath__")
         self._f = open(out_file, "wb") if self._own_file else out_file
+        # Owned files write through a bounded background thread so the next
+        # batch's encode overlaps file I/O where a spare core or a blocking
+        # disk exists (utils/io.py); caller-supplied writers keep
+        # synchronous semantics.
+        if self._own_file:
+            from .utils.io import AsyncWriter
+
+            self._w = AsyncWriter(self._f)
+        else:
+            self._w = self._f
         self._width_hint: int | None = None  # adaptive rungs carried across batches
         self._block_width_hint: int | None = None
         if write_archive_header:
-            self._f.write(archive.build_archive_header(sample_rate, self.params))
+            self._w.write(archive.build_archive_header(sample_rate, self.params))
 
     def write(self, samples) -> None:
         if self._closed:
@@ -85,7 +95,7 @@ class StreamEncoder:
             self._block_width_hint = res.block_width_used
         self._stats += res.stats
         self._nbytes += len(res.data)
-        self._f.write(res.data)
+        self._w.write(res.data)
 
     def close(self) -> EncodeResult:
         """Flush the tail (may include one partial frame) and return stats."""
@@ -96,6 +106,7 @@ class StreamEncoder:
             self._buffer = np.zeros(0, dtype=np.int16)
         self._closed = True
         if self._own_file:
+            self._w.close()  # drain; re-raises any background write error
             self._f.close()
         return EncodeResult(b"", self._stats, nbytes=self._nbytes)
 

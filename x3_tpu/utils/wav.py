@@ -6,11 +6,13 @@ capability with bulk frame reads/writes."""
 
 from __future__ import annotations
 
+import struct
 import wave
 
 import numpy as np
 
 from ..errors import MoreThanOneChannel, X3Error
+from .io import AsyncWriter
 
 
 def read_wav(path) -> tuple[np.ndarray, int]:
@@ -40,22 +42,46 @@ def write_wav(path, samples: np.ndarray, sample_rate: int) -> None:
 class WavWriter:
     """Incremental mono 16-bit WAV writer (the hound WavWriter analogue,
     decodefile.rs:200-227): samples are appended batch by batch so decode
-    memory stays bounded by the batch size."""
+    memory stays bounded by the batch size.
+
+    Output is byte-identical to the stdlib wave module (standard 44-byte
+    PCM header, sizes patched on close), but the sample stream goes through
+    a bounded background writer so decode compute overlaps file I/O when a
+    spare core or a blocking disk exists (utils/io.py has the honest
+    measurement)."""
 
     def __init__(self, path, sample_rate: int):
-        self._w = wave.open(str(path), "wb")
-        self._w.setnchannels(1)
-        self._w.setsampwidth(2)
-        self._w.setframerate(sample_rate)
+        self._f = open(path, "wb")
+        self._rate = int(sample_rate)
+        self._f.write(self._header(0))  # placeholder sizes, patched on close
+        self._aw = AsyncWriter(self._f)
         self.samples_written = 0
+        self._closed = False
+
+    def _header(self, n_samples: int) -> bytes:
+        data_bytes = 2 * n_samples
+        return struct.pack(
+            "<4sI4s4sIHHIIHH4sI",
+            b"RIFF", 36 + data_bytes, b"WAVE",
+            b"fmt ", 16, 1, 1, self._rate, self._rate * 2, 2, 16,
+            b"data", data_bytes,
+        )
 
     def write(self, samples: np.ndarray) -> None:
         samples = np.ascontiguousarray(samples, dtype="<i2")
-        self._w.writeframes(samples.tobytes())
+        self._aw.write(samples.tobytes())
         self.samples_written += len(samples)
 
     def close(self) -> None:
-        self._w.close()
+        if self._closed:
+            return
+        self._closed = True
+        try:
+            self._aw.close()  # drain; re-raises any background write error
+            self._f.seek(0)
+            self._f.write(self._header(self.samples_written))
+        finally:
+            self._f.close()
 
     def __enter__(self):
         return self
