@@ -333,3 +333,35 @@ def test_reader_random_access_isolates_damage(tmp_path, rng):
             r.decode_next_frame()
         r.seek_frame(2)
         np.testing.assert_array_equal(r.decode_next_frame(), wav[2 * spf : 3 * spf])
+
+
+def test_overwrite_longer_outputs_truncated(tmp_path, rng):
+    """Outputs are opened without O_TRUNC (utils/io.open_overwrite saves
+    tens of ms re-truncating a large existing file); the close path must
+    truncate, so overwriting a LONGER previous output leaves no stale tail
+    in either direction (.x3a or .wav)."""
+    import os
+
+    long_wav = make_hydrophone(rng, 6 * 1024)
+    short_wav = make_hydrophone(rng, 2 * 1024)
+    wp_long, wp_short = tmp_path / "long.wav", tmp_path / "short.wav"
+    xp, bp = tmp_path / "out.x3a", tmp_path / "back.wav"
+    write_wav(wp_long, long_wav, 44100)
+    write_wav(wp_short, short_wav, 44100)
+
+    for engine in ("numpy", "native"):
+        # encode long, then overwrite with short: archive must parse cleanly
+        # end-to-end and match a fresh encode byte-for-byte
+        wav_to_x3a(wp_long, xp, engine=engine)
+        wav_to_x3a(wp_short, xp, engine=engine)
+        fresh = tmp_path / "fresh.x3a"
+        wav_to_x3a(wp_short, fresh, engine=engine)
+        assert xp.read_bytes() == fresh.read_bytes()
+
+        # decode long output, then overwrite with the short conversion
+        wav_to_x3a(wp_long, fresh, engine=engine)
+        assert x3a_to_wav(fresh, bp, engine=engine) == 0
+        assert x3a_to_wav(xp, bp, engine=engine) == 0
+        back, _ = read_wav(bp)
+        np.testing.assert_array_equal(back, short_wav)
+        assert os.path.getsize(bp) == 44 + 2 * len(short_wav)

@@ -249,8 +249,10 @@ def wav_to_x3a_batch(
             for start in range(0, n, spf):
                 work.append((fi, start, min(spf, n - start)))
 
+        from .utils.io import open_overwrite
+
         for fi, p in enumerate(x3a_filenames):
-            f = open(p, "wb")
+            f = open_overwrite(p)
             outs.append(f)
             f.write(archive.build_archive_header(readers[fi].getframerate(), params))
 
@@ -275,6 +277,8 @@ def wav_to_x3a_batch(
                 stats[fi] += bstats[i].astype(np.int64)
 
         _run_encode_worklist(work, fill, emit, params, batch_frames, mesh, source_id=1)
+        for f in outs:  # open_overwrite skips O_TRUNC; cut stale tails now
+            f.truncate()
         return [EncodeResult(b"", st, nbytes=nb) for st, nb in zip(stats, written)]
     finally:
         for w in readers:

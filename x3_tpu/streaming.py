@@ -54,7 +54,12 @@ class StreamEncoder:
         self._nbytes = 0
         self._closed = False
         self._own_file = isinstance(out_file, (str, bytes)) or hasattr(out_file, "__fspath__")
-        self._f = open(out_file, "wb") if self._own_file else out_file
+        if self._own_file:
+            from .utils.io import open_overwrite
+
+            self._f = open_overwrite(out_file)  # truncated to size in close()
+        else:
+            self._f = out_file
         # Owned files write through a bounded background thread so the next
         # batch's encode overlaps file I/O where a spare core or a blocking
         # disk exists (utils/io.py); caller-supplied writers keep
@@ -107,6 +112,7 @@ class StreamEncoder:
         self._closed = True
         if self._own_file:
             self._w.close()  # drain; re-raises any background write error
+            self._f.truncate()  # cut any stale tail from a longer previous file
             self._f.close()
         return EncodeResult(b"", self._stats, nbytes=self._nbytes)
 

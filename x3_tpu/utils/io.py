@@ -18,8 +18,25 @@ write()/drain()/close(), before the converter returns success).
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
+
+
+def open_overwrite(path):
+    """Open `path` for writing WITHOUT O_TRUNC.
+
+    Truncating an existing multi-MB output at open() releases its blocks
+    synchronously — measured 19-60 ms for a 96 MB file on this filesystem,
+    ~17% of a whole native-engine `x3a_to_wav` call when the output is being
+    overwritten.  Instead the file is opened in place and the caller
+    truncates to the final length right before closing (free when the size
+    is unchanged, cheap otherwise).  Until that truncate, a shorter rewrite
+    leaves stale bytes past the new end — callers must truncate on the
+    success path; a conversion that raises leaves partial output either
+    way."""
+    fd = os.open(str(path), os.O_WRONLY | os.O_CREAT, 0o666)
+    return os.fdopen(fd, "wb")
 
 
 class AsyncWriter:

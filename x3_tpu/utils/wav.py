@@ -12,7 +12,7 @@ import wave
 import numpy as np
 
 from ..errors import MoreThanOneChannel, X3Error
-from .io import AsyncWriter
+from .io import AsyncWriter, open_overwrite
 
 
 def read_wav(path) -> tuple[np.ndarray, int]:
@@ -51,7 +51,7 @@ class WavWriter:
     measurement)."""
 
     def __init__(self, path, sample_rate: int):
-        self._f = open(path, "wb")
+        self._f = open_overwrite(path)
         self._rate = int(sample_rate)
         self._f.write(self._header(0))  # placeholder sizes, patched on close
         self._aw = AsyncWriter(self._f)
@@ -68,8 +68,11 @@ class WavWriter:
         )
 
     def write(self, samples: np.ndarray) -> None:
+        # The array itself is enqueued (buffer protocol) — no tobytes copy.
+        # Decode batches are freshly allocated per call, so the background
+        # writer's reference cannot observe a later mutation.
         samples = np.ascontiguousarray(samples, dtype="<i2")
-        self._aw.write(samples.tobytes())
+        self._aw.write(samples)
         self.samples_written += len(samples)
 
     def close(self) -> None:
@@ -80,6 +83,9 @@ class WavWriter:
             self._aw.close()  # drain; re-raises any background write error
             self._f.seek(0)
             self._f.write(self._header(self.samples_written))
+            # open_overwrite skips O_TRUNC; cut any stale tail from a
+            # longer previous output now that the final size is known.
+            self._f.truncate(44 + 2 * self.samples_written)
         finally:
             self._f.close()
 
