@@ -25,6 +25,40 @@
 #define X3_HAVE_CLMUL 1
 #endif
 
+#if defined(__AVX512F__) && defined(__AVX512VBMI__) && defined(__AVX512BW__)
+#define X3_SIMD_BFP 1
+#include <immintrin.h>
+// GCC 12 flags every unmasked AVX-512 intrinsic with a bogus
+// -Wmaybe-uninitialized on the header's own `__m512i __Y = __Y;`
+// undefined-passthrough idiom (GCC PR105593); silence that class here.
+#pragma GCC diagnostic ignored "-Wmaybe-uninitialized"
+
+// Per-(nb, bit-phase) vector constants for the 16-lane BFP extract: lane i
+// reads the big-endian 32-bit window at byte (phase + i*nb)>>3 of a 64-byte
+// block load (vpermb builds the window AND byte-swaps in one permute), then
+// shifts the field to the bottom.  Within a block the phase is constant
+// across iterations because 16*nb is a whole number of bytes.
+struct BfpTab {
+    alignas(64) uint8_t idx[64];
+    alignas(64) uint32_t lsh[16];
+};
+static BfpTab BFP_TAB[10][8];  // [nb-6][start bit & 7]
+
+static void bfp_tab_init() {
+    for (int nb = 6; nb <= 15; nb++)
+        for (int ph = 0; ph < 8; ph++) {
+            BfpTab* t = &BFP_TAB[nb - 6][ph];
+            for (int i = 0; i < 16; i++) {
+                int bo = ph + i * nb;
+                int byr = bo >> 3;
+                for (int j = 0; j < 4; j++)  // lane byte 3-j (MSB first) = data byte byr+j
+                    t->idx[4 * i + (3 - j)] = (uint8_t)(byr + j);
+                t->lsh[i] = (uint32_t)(bo & 7);
+            }
+        }
+}
+#endif
+
 extern "C" {
 
 // ---------------------------------------------------------------------------
@@ -65,6 +99,9 @@ static void crc_init() {
             uint16_t c = CRC_SLICE[k - 1][i];
             CRC_SLICE[k][i] = (uint16_t)((c << 8) ^ CRC_TABLE[c >> 8]);
         }
+#if X3_SIMD_BFP
+    bfp_tab_init();
+#endif
     crc_init_done = true;
 }
 
@@ -533,6 +570,31 @@ static inline void br_skip1(BitReader* br) {
     br->pos += 1;
 }
 
+
+static inline uint32_t ld32be(const uint8_t* p) {
+    uint32_t v;
+    memcpy(&v, p, 4);
+    return __builtin_bswap32(v);
+}
+
+// Reposition the reservoir at absolute bit b.  Callers guarantee b is in
+// bounds (b < len*8 whenever b is not byte-aligned), so the partial lead
+// byte always exists.
+static inline void br_seek(BitReader* br, int64_t b) {
+    br->pos = b;
+    int32_t frac = (int32_t)(b & 7);
+    int64_t byte = b >> 3;
+    if (frac) {
+        br->cache = (uint64_t)br->data[byte] << (56 + frac);
+        br->ncache = 8 - frac;
+        br->bytepos = byte + 1;
+    } else {
+        br->cache = 0;
+        br->ncache = 0;
+        br->bytepos = byte;
+    }
+}
+
 static inline int32_t br_zeros(BitReader* br) {
     int64_t cap = br->len * 8 - br->pos;
     if (cap <= 0) return 0;
@@ -680,7 +742,80 @@ int32_t x3_decode_frame(const uint8_t* payload, int64_t payload_len,
             // reservoir with no per-sample refill branch.  Reads past the
             // data end see zero-fill, exactly br_nbits' semantics, so no
             // tail guard is needed; pos settles once per burst.
-            if (nb == 16) {
+            // Direct-offset fast path: with a fixed field width, sample i's
+            // bits start at the STATICALLY known offset pos + i*nb — every
+            // extraction is an independent unaligned 32-bit load instead of
+            // a serial shift chain through the reservoir (the reservoir
+            // variant's `c <<= nb` dependency caps it at ~1 sample/cycle of
+            // shift latency; independent loads run at memory-port ILP).
+            // Taken only when every field AND its 4-byte window lie inside
+            // the payload; the tail/zero-fill semantics keep the exact
+            // reservoir loop below.
+            if (((br.pos + (int64_t)(len - 1) * nb) >> 3) + 4 <= br.len) {
+                const uint8_t* d = br.data;
+                int64_t b = br.pos;
+                if (nb == 16) {
+                    for (int32_t i = 0; i < len; i++, b += 16) {
+                        uint32_t v = ld32be(d + (b >> 3));
+                        last = (int16_t)(uint16_t)((v << (b & 7)) >> 16);
+                        wav[done + i] = last;
+                    }
+                } else {
+                    int32_t half = 1 << (nb - 1), full = 1 << nb;
+#if X3_SIMD_BFP
+                    // 16-lane vector variant: one 64-byte load covers all 16
+                    // fields (16*nb <= 240 bits); vpermb gathers each lane's
+                    // big-endian window, variable shifts isolate the field,
+                    // a masked subtract applies the asymmetric fold, and a
+                    // log-step in-register prefix sum integrates the diffs
+                    // (int32 partial sums truncated per lane = the scalar
+                    // int16 wrap).  Needs every iteration's 64-byte load in
+                    // bounds; otherwise the scalar direct-offset loop below.
+                    int32_t iters = (len + 15) / 16;
+                    int64_t lastbase = (b >> 3) + (int64_t)2 * nb * (iters - 1);
+                    if (lastbase + 64 <= br.len) {
+                        const BfpTab* t = &BFP_TAB[nb - 6][b & 7];
+                        __m512i idx = _mm512_load_si512((const void*)t->idx);
+                        __m512i lsh = _mm512_load_si512((const void*)t->lsh);
+                        __m512i rsh = _mm512_set1_epi32(32 - nb);
+                        __m512i vhalf = _mm512_set1_epi32(half);
+                        __m512i vfull = _mm512_set1_epi32(full);
+                        __m512i zero = _mm512_setzero_si512();
+                        int32_t carry = last;
+                        int64_t base = b >> 3;
+                        for (int32_t i = 0; i < len; i += 16, base += 2 * nb) {
+                            int32_t act = len - i >= 16 ? 16 : len - i;
+                            __mmask16 m = (__mmask16)(act == 16 ? 0xffffu : (1u << act) - 1);
+                            __m512i w = _mm512_loadu_si512((const void*)(d + base));
+                            __m512i v = _mm512_permutexvar_epi8(idx, w);
+                            v = _mm512_srlv_epi32(_mm512_sllv_epi32(v, lsh), rsh);
+                            __mmask16 gt = _mm512_cmpgt_epi32_mask(v, vhalf);
+                            v = _mm512_mask_sub_epi32(v, gt, v, vfull);
+                            v = _mm512_maskz_mov_epi32(m, v);
+                            v = _mm512_add_epi32(v, _mm512_alignr_epi32(v, zero, 15));
+                            v = _mm512_add_epi32(v, _mm512_alignr_epi32(v, zero, 14));
+                            v = _mm512_add_epi32(v, _mm512_alignr_epi32(v, zero, 12));
+                            v = _mm512_add_epi32(v, _mm512_alignr_epi32(v, zero, 8));
+                            v = _mm512_add_epi32(v, _mm512_set1_epi32(carry));
+                            _mm512_mask_cvtepi32_storeu_epi16((void*)(wav + done + i), m, v);
+                            alignas(64) int32_t tmp[16];
+                            _mm512_store_si512((void*)tmp, v);
+                            carry = (int16_t)tmp[act - 1];
+                        }
+                        last = (int16_t)carry;
+                        b += (int64_t)len * nb;
+                    } else
+#endif
+                    for (int32_t i = 0; i < len; i++, b += nb) {
+                        uint32_t v = ld32be(d + (b >> 3));
+                        int32_t a = (int32_t)((v << (b & 7)) >> (32 - nb));
+                        if (a > half) a -= full;  // asymmetric fold
+                        last = (int16_t)(last + a);
+                        wav[done + i] = last;
+                    }
+                }
+                br_seek(&br, b);
+            } else if (nb == 16) {
                 int32_t i = 0;
                 while (i < len) {
                     br_refill(&br);

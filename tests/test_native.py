@@ -157,3 +157,39 @@ def test_native_decode_zero_runs(rng):
     idx = native.index_frames(stream, 0)
     out = native.decode_frames_mt(stream, idx, P, nthreads=1)
     np.testing.assert_array_equal(out, wav)
+
+
+@pytest.mark.parametrize("nb", list(range(6, 17)))
+def test_native_decode_bfp_width_sweep(rng, nb):
+    """Every BFP field width (6..15 bits, plus the 16-bit pass-through):
+    the decoder's direct-offset BFP fast path extracts by absolute bit
+    offset and must agree bit-for-bit with the reservoir slow path it
+    falls back to near the payload end — including odd tail blocks, an
+    odd-length final frame, and every bit phase of the block start."""
+    n = 7_321  # non-multiple of block and frame lengths: tail coverage
+    if nb == 16:
+        # pass-through blocks: |diff| needs >= 15 bits
+        wav = rng.integers(-32768, 32768, n).astype(np.int16)
+    else:
+        # max|diff| in [2^(nb-1), 2^nb-1] forces BFP at exactly nb bits;
+        # intersperse quiet stretches so Rice blocks shift bit phase.
+        d = rng.integers(-(2 ** (nb - 1)) + 1, 2 ** (nb - 1), n)
+        d[rng.integers(0, n, 40)] = 2 ** (nb - 1)  # pin the width
+        quiet = rng.random(n) < 0.15
+        d[quiet] = rng.integers(-2, 3, int(quiet.sum()))
+        # Reflecting walk: flipping a diff's sign keeps its magnitude, so
+        # the realized sample-to-sample diffs hold the target width even
+        # for nb up to 15 (a modular wrap would collapse them).
+        wav = np.empty(n, np.int16)
+        x = 0
+        for i in range(n):
+            step = int(d[i])
+            if abs(x + step) > 16000:
+                step = -step
+            x += step
+            wav[i] = x
+    stream = native.encode(wav, P)
+    assert stream == oracle.encode(wav, P)
+    idx = native.index_frames(stream, 0)
+    out = native.decode_frames_mt(stream, idx, P, nthreads=1)
+    np.testing.assert_array_equal(out, wav)
