@@ -44,6 +44,14 @@ struct BfpTab {
 };
 static BfpTab BFP_TAB[10][8];  // [nb-6][start bit & 7]
 
+// multishift control for the unary LUT's 12-nibble expand: byte lane i of
+// qword q extracts the 8 bits of the (broadcast) nibble word starting at
+// bit UNIB_CTRL[8q+i]; lanes 0..11 cover nibbles 0..11, the rest are junk
+// masked out of the store.
+alignas(64) static const uint8_t UNIB_CTRL[64] = {
+    0, 4, 8, 12, 16, 20, 24, 28, 32, 36, 40, 44, 0, 0, 0, 0,
+};
+
 static void bfp_tab_init() {
     for (int nb = 6; nb <= 15; nb++)
         for (int ph = 0; ph < 8; ph++) {
@@ -649,7 +657,7 @@ struct SuffixLut { uint32_t e[1u << X3_SLUT_W]; };
 static void build_unary_lut(UnaryLut* t, int32_t inv_len) {
     for (uint32_t k = 0; k < (1u << X3_ULUT_W); k++) {
         uint32_t win = k << (32 - X3_ULUT_W);  // left-aligned window
-        int32_t used = 0, cnt = 0;
+        int32_t used = 0, cnt = 0, tot = 0;
         uint64_t nibs = 0;
         while (used < X3_ULUT_W) {
             uint32_t rest = win << used;
@@ -659,10 +667,14 @@ static void build_unary_lut(UnaryLut* t, int32_t inv_len) {
             if (z >= inv_len) break; // invalid: leave as first code -> scalar -3
             int32_t inv = (z & 1) ? -((z + 1) >> 1) : (z >> 1);
             nibs |= (uint64_t)((uint32_t)inv & 15u) << (4 * cnt);
+            tot += inv;
             used += z + 1;
             cnt++;
         }
-        t->e[k] = (uint64_t)cnt | ((uint64_t)used << 4) | (nibs << 8);
+        // total inv sum (int8, |tot| <= 6*12) in the spare top byte: the
+        // vector emit updates the carry with ONE add off the peek chain.
+        t->e[k] = (uint64_t)cnt | ((uint64_t)used << 4) | ((nibs & 0xffffffffffffULL) << 8) |
+                  ((uint64_t)(uint8_t)(int8_t)tot << 56);
     }
 }
 
@@ -893,6 +905,40 @@ int32_t x3_decode_frame(const uint8_t* payload, int64_t payload_len,
                             }
                             if (i + cnt > len) break;  // block tail: scalar below
                             int32_t bits = (int32_t)((e >> 4) & 15);
+#if X3_SIMD_BFP
+                            if (cnt >= 5 && i + 12 <= len) {
+                                // Speculative 12-wide emit (cnt >= 5: short
+                                // entries are cheaper through the nibble
+                                // loop — the vector path costs ~4-5 scalar
+                                // iterations of issue): expand the entry's
+                                // nibbles (vpmultishiftqb on the broadcast
+                                // word), sext4, log-step prefix sum, + carry,
+                                // one masked store.  Lanes past cnt hold the
+                                // zero nibbles the LUT build left, so their
+                                // prefix stays at the carry value; they are
+                                // inside [i, len) and rewritten later.  The
+                                // carry update is ONE scalar add of the
+                                // entry's precomputed total.
+                                uint64_t nibs64 = (e >> 8) & 0xffffffffffffULL;
+                                __m512i ms = _mm512_multishift_epi64_epi8(
+                                    _mm512_load_si512((const void*)UNIB_CTRL),
+                                    _mm512_set1_epi64((long long)nibs64));
+                                __m512i v = _mm512_cvtepu8_epi32(_mm512_castsi512_si128(ms));
+                                v = _mm512_srai_epi32(_mm512_slli_epi32(v, 28), 28);
+                                __m512i zero = _mm512_setzero_si512();
+                                v = _mm512_add_epi32(v, _mm512_alignr_epi32(v, zero, 15));
+                                v = _mm512_add_epi32(v, _mm512_alignr_epi32(v, zero, 14));
+                                v = _mm512_add_epi32(v, _mm512_alignr_epi32(v, zero, 12));
+                                v = _mm512_add_epi32(v, _mm512_alignr_epi32(v, zero, 8));
+                                v = _mm512_add_epi32(v, _mm512_set1_epi32(last));
+                                _mm512_mask_cvtepi32_storeu_epi16(
+                                    (void*)(wav + done + i), (__mmask16)0x0fff, v);
+                                last = (int16_t)(last + (int32_t)(int8_t)(uint8_t)(e >> 56));
+                                i += cnt;
+                                c <<= bits; nc -= bits;
+                                continue;
+                            }
+#endif
                             uint64_t nib = e >> 8;
                             for (int32_t k = 0; k < cnt; k++) {
                                 int32_t inv = ((int32_t)((uint32_t)nib & 15u) << 28) >> 28;
