@@ -193,3 +193,42 @@ def test_native_decode_bfp_width_sweep(rng, nb):
     idx = native.index_frames(stream, 0)
     out = native.decode_frames_mt(stream, idx, P, nthreads=1)
     np.testing.assert_array_equal(out, wav)
+
+
+def test_native_decode_int16_wrap_dense_unary():
+    """Hand-built payload whose cumulative sum crosses the int16 rail: no
+    valid encoder output ever wraps (adjacent int16 samples cannot differ
+    by 2^16), so this corrupt-but-accepted frame pins the wrap semantics —
+    the reference's release-mode i16 wrapping add (decoder.rs:163), the
+    oracle's _wrap_i16 — through every engine.  The diff pattern (+1, 0)
+    yields dense 1-3-bit ftype-1 codes (6 per 12-bit LUT window), driving
+    the native unary path's vector emission and its int32-prefix-sum
+    truncation across the wrap."""
+    from x3_tpu.models.decoder import decode_frames_batch
+    from x3_tpu.ops.bitio import BitWriter
+
+    n = 4096
+    first = 32000
+    diffs = np.where(np.arange(n - 1) % 2 == 0, 1, 0)
+    bw = BitWriter()
+    bw.write_bits(first & 0xFFFF, 16)
+    pos = 0
+    while pos < n - 1:
+        blk = min(P.block_len, n - 1 - pos)
+        bw.write_bits(1, 2)  # stream ftype 1: Rice r1 / order-0 unary path
+        for d in diffs[pos : pos + blk]:
+            # unary: z zeros + stop bit; inv[0]=0, inv[2]=+1
+            bw.write_bits(1, (2 if d else 0) + 1)
+        pos += blk
+    bw.word_align()
+    payload = bw.getvalue()
+
+    exp = (first + np.concatenate([[0], np.cumsum(diffs)])) % (1 << 16)
+    exp = (exp - (exp >= (1 << 15)) * (1 << 16)).astype(np.int16)
+    assert exp.min() < -30000 < 30000 < exp.max()  # the walk really wrapped
+
+    np.testing.assert_array_equal(oracle.decode_frame(payload, P, n), exp)
+    np.testing.assert_array_equal(native.decode_frame(payload, P, n), exp)
+    outs, errs = decode_frames_batch([payload], [n], P)
+    assert not errs.any()
+    np.testing.assert_array_equal(outs[0], exp)
