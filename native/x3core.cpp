@@ -651,8 +651,12 @@ static inline int32_t br_zeros(BitReader* br) {
 #define X3_ULUT_W 12
 #define X3_SLUT_W 13
 
-struct UnaryLut { uint64_t e[1u << X3_ULUT_W]; };
-struct SuffixLut { uint32_t e[1u << X3_SLUT_W]; };
+// cb[] duplicates each entry's chain-critical byte (cnt | used<<shift):
+// the serial peek chain (index -> load -> length -> shift) then walks a
+// dense 4/8 KB table instead of the full 32 KB entry array, cutting its
+// L1 footprint 4-8x; the wide entries (invs/total) load OFF the chain.
+struct UnaryLut { uint64_t e[1u << X3_ULUT_W]; uint8_t cb[1u << X3_ULUT_W]; };
+struct SuffixLut { uint32_t e[1u << X3_SLUT_W]; uint8_t cb[1u << X3_SLUT_W]; };
 
 static void build_unary_lut(UnaryLut* t, int32_t inv_len) {
     for (uint32_t k = 0; k < (1u << X3_ULUT_W); k++) {
@@ -675,6 +679,7 @@ static void build_unary_lut(UnaryLut* t, int32_t inv_len) {
         // vector emit updates the carry with ONE add off the peek chain.
         t->e[k] = (uint64_t)cnt | ((uint64_t)used << 4) | ((nibs & 0xffffffffffffULL) << 8) |
                   ((uint64_t)(uint8_t)(int8_t)tot << 56);
+        t->cb[k] = (uint8_t)(cnt | (used << 4));
     }
 }
 
@@ -704,6 +709,7 @@ static void build_suffix_lut(SuffixLut* t, int32_t nbsuf, int32_t level, int32_t
             cnt++;
         }
         t->e[k] = (uint32_t)cnt | ((uint32_t)used << 3) | invs;
+        t->cb[k] = (uint8_t)(cnt | (used << 3));
     }
 }
 
@@ -890,8 +896,10 @@ int32_t x3_decode_frame(const uint8_t* payload, int64_t payload_len,
                         uint64_t c = br.cache;
                         int32_t nc = br.ncache, n0 = nc;
                         while (i < len && nc >= uthresh) {
-                            uint64_t e = ul->e[(uint32_t)(c >> (64 - X3_ULUT_W))];
-                            int32_t cnt = (int32_t)(e & 15);
+                            uint32_t uidx = (uint32_t)(c >> (64 - X3_ULUT_W));
+                            uint32_t ucb = ul->cb[uidx];
+                            uint64_t e = ul->e[uidx];
+                            int32_t cnt = (int32_t)(ucb & 15);
                             if (!cnt) {  // first code spans past the window,
                                          // or is invalid: exact scalar decode
                                 int32_t z = __builtin_clzll(c | 1);
@@ -904,7 +912,7 @@ int32_t x3_decode_frame(const uint8_t* payload, int64_t payload_len,
                                 continue;
                             }
                             if (i + cnt > len) break;  // block tail: scalar below
-                            int32_t bits = (int32_t)((e >> 4) & 15);
+                            int32_t bits = (int32_t)(ucb >> 4);
 #if X3_SIMD_BFP
                             if (cnt >= 5 && i + 12 <= len) {
                                 // Speculative 12-wide emit (cnt >= 5: short
@@ -993,8 +1001,10 @@ int32_t x3_decode_frame(const uint8_t* payload, int64_t payload_len,
                         uint64_t c = br.cache;
                         int32_t nc = br.ncache, n0 = nc;
                         while (i < len && nc >= sthresh) {
-                            uint32_t e = sl->e[(uint32_t)(c >> (64 - X3_SLUT_W))];
-                            int32_t cnt = (int32_t)(e & 7);
+                            uint32_t sidx = (uint32_t)(c >> (64 - X3_SLUT_W));
+                            uint32_t scb = sl->cb[sidx];
+                            uint32_t e = sl->e[sidx];
+                            int32_t cnt = (int32_t)(scb & 7);
                             if (!cnt) {  // first code spans past the window,
                                          // or is invalid: exact scalar decode
                                 int32_t z = __builtin_clzll(c | 1);
@@ -1011,7 +1021,7 @@ int32_t x3_decode_frame(const uint8_t* payload, int64_t payload_len,
                                 continue;
                             }
                             if (i + cnt > len) break;  // block tail: scalar below
-                            int32_t bits = (int32_t)((e >> 3) & 31);
+                            int32_t bits = (int32_t)(scb >> 3);
                             uint32_t invs = e >> 8;
                             if (i + 4 <= len) {
                                 // Speculative branchless 4-wide emit: compute
