@@ -816,9 +816,17 @@ int32_t x3_decode_frame(const uint8_t* payload, int64_t payload_len,
                             v = _mm512_add_epi32(v, _mm512_alignr_epi32(v, zero, 8));
                             v = _mm512_add_epi32(v, _mm512_set1_epi32(carry));
                             _mm512_mask_cvtepi32_storeu_epi16((void*)(wav + done + i), m, v);
-                            alignas(64) int32_t tmp[16];
-                            _mm512_store_si512((void*)tmp, v);
-                            carry = (int16_t)tmp[act - 1];
+                            if (act == 16) {
+                                // full iteration: lane 15 straight from the
+                                // register file — the spill/reload of the
+                                // whole vector sat on the carry chain
+                                carry = (int16_t)_mm_extract_epi32(
+                                    _mm512_extracti32x4_epi32(v, 3), 3);
+                            } else {
+                                alignas(64) int32_t tmp[16];
+                                _mm512_store_si512((void*)tmp, v);
+                                carry = (int16_t)tmp[act - 1];
+                            }
                         }
                         last = (int16_t)carry;
                         b += (int64_t)len * nb;
