@@ -52,6 +52,43 @@ alignas(64) static const uint8_t UNIB_CTRL[64] = {
     0, 4, 8, 12, 16, 20, 24, 28, 32, 36, 40, 44, 0, 0, 0, 0,
 };
 
+// BFP ENCODE pack tables: the inverse of BfpTab.  A 16-field group at
+// width w (= nb+1, 7..14) spans 16w bits; 16w = 0 mod 8 keeps the bit
+// phase invariant across groups, so output byte j is a pure function of
+// (w, phase): it draws from at most TWO fields a0(j), a0(j)+1 (w >= 7
+// leaves <= 2 contributors per byte) as
+//   byte j = ((v[a0] << w | v[a0+1]) >> sh(j)) & 0xff
+// with sh(j) = 2w - 8 - 8j + phase + a0*w.  Lanes 0-15 / 16-31 live in
+// two 16-lane int32 registers.  Bits of byte 0 below the phase and bits
+// past field 15 read ZERO (masked second permute), so the caller ORs the
+// pending accumulator bits into byte 0 and takes the trailing phase bits
+// straight from field 15.
+struct BfpPackTab {
+    alignas(64) int32_t ia[32];   // a0 per byte lane
+    alignas(64) int32_t ib[32];   // a0+1 (clamped; zeroed via mb)
+    alignas(64) int32_t sh[32];   // right shift per byte lane
+    uint32_t mb;                  // lane mask: a0+1 is a real field
+};
+static BfpPackTab BFPP_TAB[8][8];  // [w-7][phase]
+
+static void bfpp_tab_init() {
+    for (int w = 7; w <= 14; w++)
+        for (int ph = 0; ph < 8; ph++) {
+            BfpPackTab* t = &BFPP_TAB[w - 7][ph];
+            t->mb = 0;
+            for (int j = 0; j < 32; j++) {
+                if (j >= 2 * w) { t->ia[j] = 0; t->ib[j] = 0; t->sh[j] = 31; continue; }
+                int a0 = (8 * j - ph) / w;
+                if (8 * j < ph) a0 = 0;
+                if (a0 > 15) a0 = 15;
+                t->ia[j] = a0;
+                int a1 = a0 + 1;
+                if (a1 <= 15) { t->ib[j] = a1; t->mb |= 1u << j; } else t->ib[j] = 0;
+                t->sh[j] = 2 * w - 8 - 8 * j + ph + a0 * w;
+            }
+        }
+}
+
 static void bfp_tab_init() {
     for (int nb = 6; nb <= 15; nb++)
         for (int ph = 0; ph < 8; ph++) {
@@ -109,6 +146,7 @@ static void crc_init() {
         }
 #if X3_SIMD_BFP
     bfp_tab_init();
+    bfpp_tab_init();
 #endif
     crc_init_done = true;
 }
@@ -397,6 +435,52 @@ static void encode_frame_blocks(const int16_t* wav, int32_t n, const X3Params* p
                 bw_emit<FAST>(&bw, (uint32_t)nb, 6);
                 uint32_t mask = (1u << (nb + 1)) - 1;
                 int32_t i = 0;
+#if X3_SIMD_BFP
+                if (FAST && nb >= 6 && nb <= 13 && len >= 16) {
+                    // Vector pack: 16 fields -> 2w output bytes per group
+                    // (bit-identical to the quad emission).  bw_bits_fast
+                    // leaves acc_bits <= 7, so the group phase is acc_bits
+                    // and stays invariant (16w = 0 mod 8).
+                    int32_t w1 = nb + 1;
+                    int32_t phi = bw.acc_bits;
+                    const BfpPackTab* t = &BFPP_TAB[w1 - 7][phi];
+                    __m512i ia0 = _mm512_load_si512((const void*)t->ia);
+                    __m512i ia1 = _mm512_load_si512((const void*)(t->ia + 16));
+                    __m512i ib0 = _mm512_load_si512((const void*)t->ib);
+                    __m512i ib1 = _mm512_load_si512((const void*)(t->ib + 16));
+                    __m512i sh0 = _mm512_load_si512((const void*)t->sh);
+                    __m512i sh1 = _mm512_load_si512((const void*)(t->sh + 16));
+                    __mmask16 mb0 = (__mmask16)t->mb, mb1 = (__mmask16)(t->mb >> 16);
+                    __m512i vw = _mm512_set1_epi32(w1);
+                    __m512i vmask = _mm512_set1_epi32((int32_t)mask);
+                    __mmask16 st0 = 2 * w1 >= 16 ? (__mmask16)0xffff
+                                                 : (__mmask16)((1u << (2 * w1)) - 1);
+                    __mmask16 st1 = 2 * w1 > 16 ? (__mmask16)((1u << (2 * w1 - 16)) - 1)
+                                                : (__mmask16)0;
+                    uint32_t carry = (uint32_t)(bw.acc & ((phi ? (1ULL << phi) : 1ULL) - 1));
+                    for (; i + 16 <= len; i += 16) {
+                        __m512i v = _mm512_and_si512(
+                            _mm512_loadu_si512((const void*)(dbuf + i)), vmask);
+                        __m512i p0 = _mm512_or_si512(
+                            _mm512_sllv_epi32(_mm512_permutexvar_epi32(ia0, v), vw),
+                            _mm512_maskz_permutexvar_epi32(mb0, ib0, v));
+                        __m512i b0 = _mm512_srlv_epi32(p0, sh0);
+                        _mm512_mask_cvtepi32_storeu_epi8((void*)(bw.out + bw.len), st0, b0);
+                        if (st1) {
+                            __m512i p1 = _mm512_or_si512(
+                                _mm512_sllv_epi32(_mm512_permutexvar_epi32(ia1, v), vw),
+                                _mm512_maskz_permutexvar_epi32(mb1, ib1, v));
+                            __m512i b1 = _mm512_srlv_epi32(p1, sh1);
+                            _mm512_mask_cvtepi32_storeu_epi8(
+                                (void*)(bw.out + bw.len + 16), st1, b1);
+                        }
+                        if (phi) bw.out[bw.len] |= (uint8_t)(carry << (8 - phi));
+                        carry = (uint32_t)dbuf[i + 15] & ((phi ? (1u << phi) : 1u) - 1);
+                        bw.len += 2 * w1;
+                    }
+                    bw.acc = carry;  // acc_bits stays phi
+                }
+#endif
                 if (FAST && nb <= 13) {  // 4*(nb+1) <= 56: quad emission
                     int32_t w1 = nb + 1;
                     for (; i + 4 <= len; i += 4) {
