@@ -6,7 +6,7 @@ return success."""
 import numpy as np
 import pytest
 
-from x3_tpu.utils.io import AsyncWriter
+from x3_tpu.utils.io import AsyncWriter, prefetch_iter
 from x3_tpu.utils.wav import WavWriter, read_wav, write_wav
 
 
@@ -46,6 +46,45 @@ def test_async_writer_close_reraises():
     aw.write(b"x")
     with pytest.raises(OSError, match="late"):
         aw.close()
+
+
+def test_prefetch_iter_order_and_completeness():
+    items = [bytes([i]) * (100 + i) for i in range(200)]
+    assert list(prefetch_iter(iter(items), depth=3)) == items
+    assert list(prefetch_iter(iter([]), depth=2)) == []
+
+
+def test_prefetch_iter_exception_after_prior_items():
+    def src():
+        yield 1
+        yield 2
+        raise OSError("short read")
+
+    it = prefetch_iter(src(), depth=1)
+    got = []
+    with pytest.raises(OSError, match="short read"):
+        for v in it:
+            got.append(v)
+    assert got == [1, 2]  # everything read before the error is delivered
+
+
+def test_prefetch_iter_abandon_stops_source():
+    import time as _time
+
+    state = {"produced": 0}
+
+    def src():
+        for i in range(10_000):
+            state["produced"] += 1
+            yield i
+
+    it = prefetch_iter(src(), depth=2)
+    assert next(it) == 0
+    it.close()  # consumer abandons mid-stream
+    _time.sleep(0.1)
+    # The producer stops near the read-ahead bound instead of draining
+    # 10k items (exact count depends on scheduling; the point is "small").
+    assert state["produced"] < 100
 
 
 def test_wavwriter_matches_wave_module(tmp_path):

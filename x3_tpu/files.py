@@ -39,6 +39,7 @@ from .models.decoder import decode_frames_batch
 from .models.encoder import EncodeResult
 from .models import oracle
 from .params import Parameters, X3aSpec
+from .utils.io import prefetch_iter
 from .utils.wav import WavWriter
 
 DEFAULT_BATCH_FRAMES = 256
@@ -85,10 +86,19 @@ def wav_to_x3a(
         rate = w.getframerate()
         with StreamEncoder(x3a_filename, rate, params, engine, batch_frames) as enc:
             chunk_samples = batch_frames * params.samples_per_frame
-            while True:
-                raw = w.readframes(chunk_samples)
-                if not raw:
-                    break
+
+            def _chunks():
+                while True:
+                    raw = w.readframes(chunk_samples)
+                    if not raw:
+                        return
+                    yield raw
+
+            # Read-ahead thread: the NEXT chunk's WAV read overlaps the
+            # current chunk's encode (the output side already overlaps via
+            # StreamEncoder's AsyncWriter).  Memory stays bounded: depth
+            # chunks of batch_frames frames each.
+            for raw in prefetch_iter(_chunks(), depth=1):
                 enc.write(np.frombuffer(raw, dtype="<i2"))
             result = enc.close()
     if verbose:
@@ -198,18 +208,32 @@ def _x3a_to_wav_native_stream(f, wout, start: int, params: Parameters) -> int:
 
     f.seek(0, 2)
     n = f.tell()
+
+    def _reads():
+        # Sequential chunk reads on a read-ahead thread (prefetch_iter):
+        # the next 4 MB read overlaps the current chunk's native decode.
+        # Only this generator touches `f` once the loop below starts.
+        p = start
+        while p < n:
+            f.seek(p)
+            chunk = f.read(_NATIVE_CHUNK_BYTES)
+            if not chunk:
+                return
+            p += len(chunk)
+            yield chunk
+
+    reads = prefetch_iter(_reads(), depth=1)
     pos = start
     carry = b""
     base = 0  # global frame number of the first frame in the current blob
     while True:
-        eof = pos >= n
-        if not eof:
-            f.seek(pos)
-            chunk = f.read(_NATIVE_CHUNK_BYTES)
+        chunk = next(reads, None)
+        if chunk is not None:
             pos += len(chunk)
             eof = pos >= n
             blob = carry + chunk if carry else chunk
         else:
+            eof = True
             blob = carry
         if not blob:
             return 0

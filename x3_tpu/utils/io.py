@@ -21,6 +21,7 @@ from __future__ import annotations
 import os
 import queue
 import threading
+import time
 
 
 def open_overwrite(path):
@@ -93,3 +94,58 @@ class AsyncWriter:
             self._q.put(None)
             self._t.join()
         self._check()
+
+
+def prefetch_iter(src, depth: int = 2):
+    """Yield `src`'s items with up to `depth` of them read ahead on a
+    background thread — the input-side mirror of AsyncWriter: file reads
+    (`read(2)`, wave.readframes) release the GIL, so the NEXT chunk's read
+    overlaps the current chunk's encode/decode wherever a spare core exists
+    or the disk genuinely blocks.  On this 1-core page-cache sandbox it is a
+    measured wash, like the writer (see module docstring).
+
+    Order is preserved; a source exception re-raises at the consuming
+    point, after every item read before it.  Abandoning the generator stops
+    the thread promptly (reads are file-bound, so the producer notices the
+    stop flag at its next item)."""
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+
+    def run() -> None:
+        try:
+            for item in src:
+                while not stop.is_set():
+                    try:
+                        q.put((False, item), timeout=0.05)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+            q.put((None, None))
+        except BaseException as e:  # re-raised on the consumer thread
+            if not stop.is_set():
+                q.put((True, e))
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    try:
+        while True:
+            kind, val = q.get()
+            if kind is None:
+                return
+            if kind:
+                raise val
+            yield val
+    finally:
+        stop.set()
+        # Unblock a producer waiting on a full queue; reads are finite and
+        # file-bound, so bound the cleanup instead of risking a hang on a
+        # pathological source (the thread is a daemon either way).
+        deadline = time.monotonic() + 1.0
+        while t.is_alive() and time.monotonic() < deadline:
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=0.02)
