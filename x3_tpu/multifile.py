@@ -16,6 +16,7 @@ from .errors import FrameHeaderInvalidPayloadCRC
 from .files import JAX_DECODE_BATCH_FRAMES, JAX_ENCODE_BATCH_FRAMES
 from .models.encoder import EncodeResult, build_frame_headers
 from .params import Parameters
+from .utils.io import prefetch_iter
 
 # The batch APIs run the jax pipelines; default to the measured device
 # sweet spots (see files.resolve_batch_frames).
@@ -86,11 +87,20 @@ def _run_encode_worklist(work, fill, emit, params: Parameters, batch_frames, mes
     nw_rungs = block_width_rungs(params)
     rung = nw_rung = 0
 
-    for base in range(0, len(work), batch_frames):
-        chunk = work[base : base + batch_frames]
-        batch = np.zeros((batch_frames, spf), dtype=np.int16)
-        n_valid = np.zeros(batch_frames, dtype=np.int32)
-        fill(chunk, batch, n_valid)
+    def _filled():
+        # Next chunk's fill (WAV seek-reads / stream slicing) runs on a
+        # read-ahead thread while the current chunk encodes (utils/io
+        # prefetch_iter, same as files.wav_to_x3a).  Only this generator
+        # touches the callers' readers; depth 1 bounds memory at one extra
+        # batch buffer.
+        for base in range(0, len(work), batch_frames):
+            chunk = work[base : base + batch_frames]
+            batch = np.zeros((batch_frames, spf), dtype=np.int16)
+            n_valid = np.zeros(batch_frames, dtype=np.int32)
+            fill(chunk, batch, n_valid)
+            yield chunk, batch, n_valid
+
+    for chunk, batch, n_valid in prefetch_iter(_filled(), depth=1):
 
         def run(w, nw):
             if mesh is not None:
