@@ -361,48 +361,58 @@ def x3a_to_wav_batch(
             return writers[ai]
 
         done = [0] * len(handles)
-        for params, work in groups.items():
-            for base in range(0, len(work), batch_frames):
-                chunk = work[base : base + batch_frames]
-                payloads = []
-                for ai, fi, off, h in chunk:
-                    handles[ai].seek(off)
-                    payloads.append(handles[ai].read(h.payload_len))
-                ok = archive.verify_payload_crcs_parts(
-                    payloads, [h.payload_crc for _, _, _, h in chunk]
-                )
-                if not ok.all():
-                    bad = int(np.nonzero(~ok)[0][0])
-                    ai, fi = chunk[bad][0], chunk[bad][1]
-                    raise FrameHeaderInvalidPayloadCRC(
-                        f"archive {ai} frame {fi} payload CRC mismatch"
+
+        def _prepared():
+            # Next batch's payload reads + CRC verify + buffer build run on
+            # a read-ahead thread while the current batch decodes (utils/io
+            # prefetch_iter); only this generator touches `handles`.  A CRC
+            # mismatch re-raises at the consuming point after every earlier
+            # batch, so flush-before-raise semantics are unchanged.
+            for params, work in groups.items():
+                for base in range(0, len(work), batch_frames):
+                    chunk = work[base : base + batch_frames]
+                    payloads = []
+                    for ai, fi, off, h in chunk:
+                        handles[ai].seek(off)
+                        payloads.append(handles[ai].read(h.payload_len))
+                    ok = archive.verify_payload_crcs_parts(
+                        payloads, [h.payload_crc for _, _, _, h in chunk]
                     )
-                n_blocks, w = decode_geometry(
-                    params, [h.samples for _, _, _, h in chunk], [len(p) for p in payloads]
-                )
-                buf = np.zeros((batch_frames, w * 4), dtype=np.uint8)
-                ns = np.zeros(batch_frames, dtype=np.int32)
-                plens = np.zeros(batch_frames, dtype=np.int32)
-                for i, payload in enumerate(payloads):
-                    arr = np.frombuffer(payload, dtype=np.uint8)
-                    buf[i, : len(arr)] = arr
-                    ns[i] = chunk[i][3].samples
-                    plens[i] = len(arr)
-                if mesh is not None:
-                    dec, err = decode_frames_sharded(buf, ns, plens, params, mesh, n_blocks)
-                else:
-                    dec, err = decode_frames(buf, ns, plens, params, n_blocks)
-                dec = np.asarray(dec)
-                err = np.asarray(err)
-                if err[: len(chunk)].any():
-                    bad = int(np.nonzero(err)[0][0])
-                    ai, fi = chunk[bad][0], chunk[bad][1]
-                    raise decode_error(err[bad], f"archive {ai} frame {fi} failed to decode")
-                for i, (ai, fi, off, h) in enumerate(chunk):
-                    writer_for(ai).write(dec[i, : h.samples])
-                    done[ai] += 1
-                    if done[ai] == len(indexes[ai]):
-                        writers.pop(ai).close()
+                    if not ok.all():
+                        bad = int(np.nonzero(~ok)[0][0])
+                        ai, fi = chunk[bad][0], chunk[bad][1]
+                        raise FrameHeaderInvalidPayloadCRC(
+                            f"archive {ai} frame {fi} payload CRC mismatch"
+                        )
+                    n_blocks, w = decode_geometry(
+                        params, [h.samples for _, _, _, h in chunk], [len(p) for p in payloads]
+                    )
+                    buf = np.zeros((batch_frames, w * 4), dtype=np.uint8)
+                    ns = np.zeros(batch_frames, dtype=np.int32)
+                    plens = np.zeros(batch_frames, dtype=np.int32)
+                    for i, payload in enumerate(payloads):
+                        arr = np.frombuffer(payload, dtype=np.uint8)
+                        buf[i, : len(arr)] = arr
+                        ns[i] = chunk[i][3].samples
+                        plens[i] = len(arr)
+                    yield params, chunk, buf, ns, plens, n_blocks
+
+        for params, chunk, buf, ns, plens, n_blocks in prefetch_iter(_prepared(), depth=1):
+            if mesh is not None:
+                dec, err = decode_frames_sharded(buf, ns, plens, params, mesh, n_blocks)
+            else:
+                dec, err = decode_frames(buf, ns, plens, params, n_blocks)
+            dec = np.asarray(dec)
+            err = np.asarray(err)
+            if err[: len(chunk)].any():
+                bad = int(np.nonzero(err)[0][0])
+                ai, fi = chunk[bad][0], chunk[bad][1]
+                raise decode_error(err[bad], f"archive {ai} frame {fi} failed to decode")
+            for i, (ai, fi, off, h) in enumerate(chunk):
+                writer_for(ai).write(dec[i, : h.samples])
+                done[ai] += 1
+                if done[ai] == len(indexes[ai]):
+                    writers.pop(ai).close()
 
         # Archives with zero frames still produce (empty) WAVs.
         for ai, index in enumerate(indexes):
