@@ -155,6 +155,37 @@ def test_cli_roundtrip(tmp_path, rng):
     assert r3.returncode != 0
 
 
+def test_cli_range_extract(tmp_path, rng):
+    """--range START[:COUNT] decodes a sample window via the frame index
+    (random access, our extension over bin/x3.rs)."""
+    from x3_tpu.cli import main as cli_main
+
+    wav = np.clip(np.cumsum(rng.integers(-4, 5, 25_000)), -30000, 30000).astype(np.int16)
+    wp, xp = tmp_path / "r.wav", tmp_path / "r.x3a"
+    write_wav(wp, wav, 48000)
+    assert cli_main(["-i", str(wp), "-o", str(xp), "-q", "--engine", "numpy"]) == 0
+
+    out = tmp_path / "mid.wav"
+    assert cli_main(
+        ["-i", str(xp), "-o", str(out), "--engine", "numpy", "--range", "9990:40"]
+    ) == 0
+    got, rate = read_wav(out)
+    assert rate == 48000
+    np.testing.assert_array_equal(got, wav[9990:10030])
+
+    # START: (to end), clamped at the archive bound
+    out2 = tmp_path / "tail.wav"
+    assert cli_main(["-i", str(xp), "-o", str(out2), "--engine", "numpy", "--range", "24000:"]) == 0
+    got2, _ = read_wav(out2)
+    np.testing.assert_array_equal(got2, wav[24000:])
+
+    # --range only makes sense decoding an archive
+    with pytest.raises(SystemExit):
+        cli_main(["-i", str(wp), "-o", str(xp), "--range", "0:10"])
+    with pytest.raises(SystemExit):
+        cli_main(["-i", str(xp), "-o", str(out), "--range", "abc"])
+
+
 def test_wav_to_str(tmp_path):
     wav = np.arange(-8, 28, dtype=np.int16)
     path = tmp_path / "t.wav"

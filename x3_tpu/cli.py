@@ -43,12 +43,39 @@ def main(argv=None) -> int:
     parser.add_argument("--resync", action="store_true", help="skip corrupt frames instead of stopping at the first")
     parser.add_argument("-q", "--quiet", action="store_true", help="suppress statistics output")
     parser.add_argument("--block-len", type=int, default=None, help="encode block length (default 20)")
+    parser.add_argument(
+        "--range",
+        metavar="START[:COUNT]",
+        default=None,
+        dest="sample_range",
+        help="decode only this sample range of an .x3a input to the output "
+        "WAV (random access via the frame index — our extension; COUNT "
+        "defaults to the rest of the archive)",
+    )
     args = parser.parse_args(argv)
 
     in_type = get_filetype(args.input)
     out_type = get_filetype(args.output)
     if in_type == out_type:
         raise SystemExit("Input must be different file type than output.")
+
+    if args.sample_range is not None:
+        if not (in_type == "x3a" and out_type == "wav"):
+            raise SystemExit("--range requires an .x3a input and a .wav output.")
+        from .files import X3aReader
+        from .utils.wav import write_wav
+
+        start_s, _, count_s = args.sample_range.partition(":")
+        try:
+            start = int(start_s or 0)
+            count = int(count_s) if count_s else None
+        except ValueError:
+            raise SystemExit(f"Invalid --range {args.sample_range!r}, want START[:COUNT].")
+        with X3aReader(args.input, engine=args.engine) as reader:
+            if count is None:
+                count = max(reader.n_samples - start, 0)
+            write_wav(args.output, reader.read_samples(start, count), reader.spec.sample_rate)
+        return 0
 
     params = Parameters(block_len=args.block_len) if args.block_len else Parameters()
     if in_type == "wav" and out_type == "x3a":
