@@ -397,22 +397,30 @@ def x3a_to_wav_batch(
                         plens[i] = len(arr)
                     yield params, chunk, buf, ns, plens, n_blocks
 
-        for params, chunk, buf, ns, plens, n_blocks in prefetch_iter(_prepared(), depth=1):
-            if mesh is not None:
-                dec, err = decode_frames_sharded(buf, ns, plens, params, mesh, n_blocks)
-            else:
-                dec, err = decode_frames(buf, ns, plens, params, n_blocks)
-            dec = np.asarray(dec)
-            err = np.asarray(err)
-            if err[: len(chunk)].any():
-                bad = int(np.nonzero(err)[0][0])
-                ai, fi = chunk[bad][0], chunk[bad][1]
-                raise decode_error(err[bad], f"archive {ai} frame {fi} failed to decode")
-            for i, (ai, fi, off, h) in enumerate(chunk):
-                writer_for(ai).write(dec[i, : h.samples])
-                done[ai] += 1
-                if done[ai] == len(indexes[ai]):
-                    writers.pop(ai).close()
+        prepared = prefetch_iter(_prepared(), depth=1)
+        try:
+            for params, chunk, buf, ns, plens, n_blocks in prepared:
+                if mesh is not None:
+                    dec, err = decode_frames_sharded(buf, ns, plens, params, mesh, n_blocks)
+                else:
+                    dec, err = decode_frames(buf, ns, plens, params, n_blocks)
+                dec = np.asarray(dec)
+                err = np.asarray(err)
+                if err[: len(chunk)].any():
+                    bad = int(np.nonzero(err)[0][0])
+                    ai, fi = chunk[bad][0], chunk[bad][1]
+                    raise decode_error(err[bad], f"archive {ai} frame {fi} failed to decode")
+                for i, (ai, fi, off, h) in enumerate(chunk):
+                    writer_for(ai).write(dec[i, : h.samples])
+                    done[ai] += 1
+                    if done[ai] == len(indexes[ai]):
+                        writers.pop(ai).close()
+        finally:
+            # Stop the read-ahead thread BEFORE the outer finally closes
+            # `handles` — otherwise a raise here could close a file the
+            # producer is mid-read on (safe either way via the io lock,
+            # but this keeps the ordering explicit).
+            prepared.close()
 
         # Archives with zero frames still produce (empty) WAVs.
         for ai, index in enumerate(indexes):
