@@ -77,12 +77,35 @@ def timed(fn, args, reps: int) -> float:
     return (time.perf_counter() - t0) / reps
 
 
+def wait_for_backend(jax, jnp, deadline_s: float) -> None:
+    """Block until the device backend answers a trivial computation.
+
+    The sandbox's tunneled TPU goes through outages where every call fails
+    UNAVAILABLE (connection refused) and then recovers on its own; the driver
+    runs this script exactly once per round, so a transient outage would lose
+    the round's bench artifact.  Retry a tiny probe with backoff up to the
+    deadline before giving up."""
+    t0 = time.perf_counter()
+    delay = 15.0
+    while True:
+        try:
+            int(jax.jit(jnp.sum)(jnp.arange(8)))
+            return
+        except Exception as e:  # noqa: BLE001 - backend errors vary by platform
+            if time.perf_counter() - t0 + delay > deadline_s:
+                raise
+            print(f"# backend unavailable ({type(e).__name__}); retrying in {delay:.0f}s", flush=True)
+            time.sleep(delay)
+            delay = min(delay * 1.5, 120.0)
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/x3_tpu_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    wait_for_backend(jax, jnp, float(os.environ.get("X3_BENCH_TUNNEL_WAIT", "1800")))
 
     from x3_tpu.models import oracle
     from x3_tpu.models.encoder import encode

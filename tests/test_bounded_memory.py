@@ -128,10 +128,10 @@ def maxrss_mb():
 
 rng = np.random.default_rng(12)
 wavs, arcs = [], []
-# 2 WAVs x 30 MB = 60 MB of input.
+# 2 WAVs x 60 MB = 120 MB of input.
 for k in range(2):
     wp = {str(tmp_path)!r} + f"/in{{k}}.wav"
-    n_total = 15_000_000
+    n_total = 30_000_000
     with WavWriter(wp, 96000) as w:
         left, last = n_total, 0
         while left:
@@ -163,9 +163,13 @@ print(f"dec={{enc:.0f}}")
         pytest.skip("native toolchain unavailable")
     assert out["exact"] == "True"
     base, enc = float(out["base"]), float(out["dec"])
-    # 60 MB input: a whole-file reader would grow RSS by >= 60 MB; the
-    # streaming walker by ~one 128-frame batch.
-    assert enc < base + 45.0, f"batch encode RSS grew {enc - base:.0f} MB"
+    # 120 MB input: a whole-file reader would grow RSS by >= 120 MB; the
+    # streaming walker by ~one 128-frame batch.  Allow ~60 MB of flat
+    # overhead: the XLA-CPU/glibc pools oscillate ±50 MB between identical
+    # runs (measured; gc+malloc_trim'd steady state does NOT scale with
+    # input volume — 360 MB plateau at 60 MB input vs 320 MB at 120 MB),
+    # so a thin margin flakes while a scaling bug still overshoots 2x.
+    assert enc < base + 60.0, f"batch encode RSS grew {enc - base:.0f} MB"
 
 
 @pytest.mark.slow
@@ -191,11 +195,11 @@ def maxrss_mb():
 
 rng = np.random.default_rng(11)
 wavs, arcs, backs, totals = [], [], [], []
-# 2 archives x 30 MB of WAV = 60 MB decoded total.
+# 2 archives x 60 MB of WAV = 120 MB decoded total.
 for k in range(2):
     wp = {str(tmp_path)!r} + f"/in{{k}}.wav"
     xp = {str(tmp_path)!r} + f"/a{{k}}.x3a"
-    n_total = 15_000_000
+    n_total = 30_000_000
     with WavWriter(wp, 96000) as w:
         left, last = n_total, 0
         while left:
@@ -228,7 +232,8 @@ print(f"dec={{dec:.0f}}")
         pytest.skip("native toolchain unavailable")
     assert out["exact"] == "True"
     base, dec = float(out["base"]), float(out["dec"])
-    # 60 MB of decoded output + 20 MB of archives; a whole-archive reader
-    # would grow RSS by >= 60 MB (it held all decoded arrays), the
+    # 120 MB of decoded output + 40 MB of archives; a whole-archive reader
+    # would grow RSS by >= 120 MB (it held all decoded arrays), the
     # streaming walker by ~jax-runtime overhead + one 128-frame batch.
-    assert dec < base + 45.0, f"batch decode RSS grew {dec - base:.0f} MB"
+    # Bound 60 MB for the same pool-oscillation reason as the encode test.
+    assert dec < base + 60.0, f"batch decode RSS grew {dec - base:.0f} MB"
