@@ -120,6 +120,94 @@ def test_find_sync(rng):
     assert archive.find_sync(data, 0) == 137
 
 
+def test_x3a_info(tmp_path, rng):
+    from x3_tpu.files import x3a_info
+
+    wav = make_hydrophone(rng, 25_000)  # 3 frames (last one short)
+    wav_path, x3a_path = tmp_path / "in.wav", tmp_path / "out.x3a"
+    write_wav(wav_path, wav, 96_000)
+    wav_to_x3a(wav_path, x3a_path, engine="numpy")
+    info = x3a_info(x3a_path)
+    assert info["sample_rate"] == 96_000
+    assert info["n_frames"] == 3
+    assert info["n_samples"] == 25_000
+    assert info["archive_bytes"] == x3a_path.stat().st_size
+    assert info["pcm_bytes"] == 50_000
+    # header index accounts for every byte: archive header + frame
+    # headers + payloads == file size
+    assert (
+        info["archive_header_bytes"] + info["frame_header_bytes"] + info["payload_bytes"]
+        == info["archive_bytes"]
+    )
+    assert info["compression_ratio"] > 1.5  # hydrophone class compresses ~3x
+    assert info["duration_s"] == pytest.approx(25_000 / 96_000, abs=1e-3)
+
+
+@pytest.mark.parametrize("engine", ["numpy", "jax"])
+def test_verify_x3a(tmp_path, rng, engine):
+    from x3_tpu.files import verify_x3a
+
+    wav = make_hydrophone(rng, 30_000)  # 3 frames
+    wav_path, x3a_path = tmp_path / "in.wav", tmp_path / "out.x3a"
+    write_wav(wav_path, wav, 44100)
+    wav_to_x3a(wav_path, x3a_path, engine="numpy")
+
+    report = verify_x3a(x3a_path, engine=engine)
+    assert report["ok"]
+    assert report["n_frames"] == 3
+    assert report["frame_errors"] == 0
+    assert report["n_samples_ok"] == 30_000
+    assert report["skipped_bytes"] == 0
+
+    # Corrupt the MIDDLE frame's payload: verify reports it but still checks
+    # (and passes) the final frame — unlike the reference's stop-at-first-bad.
+    data = bytearray(x3a_path.read_bytes())
+    hdr = archive.parse_archive_header(bytes(data))[1]
+    index = list(archive.walk_frames(bytes(data), hdr))
+    off1, _ = index[1]
+    data[off1 + 5] ^= 0xFF
+    bad = tmp_path / "bad.x3a"
+    bad.write_bytes(bytes(data))
+    report = verify_x3a(bad, engine=engine)
+    assert not report["ok"]
+    assert report["n_frames"] == 3
+    assert report["frame_errors"] == 1
+    assert report["n_samples_ok"] == 20_000
+
+    # Truncate mid-payload: the lost tail shows up as skipped bytes.
+    trunc = tmp_path / "trunc.x3a"
+    trunc.write_bytes(x3a_path.read_bytes()[:-64])
+    report = verify_x3a(trunc, engine=engine)
+    assert not report["ok"]
+    assert report["n_frames"] == 2
+    assert report["skipped_bytes"] > 0
+
+
+def test_cli_info_verify(tmp_path, rng):
+    from x3_tpu.cli import main as cli_main
+
+    wav = make_hydrophone(rng, 12_000)
+    wav_path, x3a_path = tmp_path / "in.wav", tmp_path / "out.x3a"
+    write_wav(wav_path, wav, 44100)
+    wav_to_x3a(wav_path, x3a_path, engine="numpy")
+
+    # --info and --verify need no --output and exit 0 on a clean archive
+    assert cli_main(["-i", str(x3a_path), "--info", "--engine", "numpy"]) == 0
+    assert cli_main(["-i", str(x3a_path), "--verify", "--engine", "numpy"]) == 0
+
+    # damaged archive -> exit 1
+    data = bytearray(x3a_path.read_bytes())
+    data[-10] ^= 0xFF
+    x3a_path.write_bytes(bytes(data))
+    assert cli_main(["-i", str(x3a_path), "--verify", "--engine", "numpy", "-q"]) == 1
+
+    # still rejects a .wav input, and conversion still demands --output
+    with pytest.raises(SystemExit):
+        cli_main(["-i", str(wav_path), "--info"])
+    with pytest.raises(SystemExit):
+        cli_main(["-i", str(wav_path)])
+
+
 def test_cli_roundtrip(tmp_path, rng):
     wav = make_hydrophone(rng, 15_000)
     wav_path = tmp_path / "in.wav"

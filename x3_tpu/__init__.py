@@ -30,6 +30,8 @@ __all__ = [
     "wav_to_x3a",
     "x3a_to_wav",
     "X3aReader",
+    "x3a_info",
+    "verify_x3a",
     "StreamEncoder",
     "wav_to_x3a_batch",
     "x3a_to_wav_batch",
@@ -39,7 +41,7 @@ __all__ = [
 
 def __getattr__(name):
     # Lazy imports keep `import x3_tpu` light (no jax import until needed).
-    if name in ("wav_to_x3a", "x3a_to_wav", "X3aReader"):
+    if name in ("wav_to_x3a", "x3a_to_wav", "X3aReader", "x3a_info", "verify_x3a"):
         from . import files
 
         return getattr(files, name)

@@ -3,7 +3,9 @@
     python -m x3_tpu --input FILE --output FILE
 
 dispatches on the .wav / .x3a extensions; input and output must differ in
-type.  Extras over the reference: --engine, --resync, --quiet."""
+type.  Extras over the reference: --engine, --resync, --quiet,
+--range START[:COUNT] (random access), --info (header-index metadata) and
+--verify (full integrity check, no output)."""
 
 from __future__ import annotations
 
@@ -32,7 +34,21 @@ def main(argv=None) -> int:
         description="x3 - efficient lossless compression for low entropy audio wav files.",
     )
     parser.add_argument("-i", "--input", metavar="FILE", required=True, help="The input file, a .wav or .x3a file")
-    parser.add_argument("-o", "--output", metavar="FILE", required=True, help="The output file, a .wav or .x3a file")
+    parser.add_argument(
+        "-o", "--output", metavar="FILE", default=None,
+        help="The output file, a .wav or .x3a file (not used with --info/--verify)",
+    )
+    parser.add_argument(
+        "--info", action="store_true",
+        help="print .x3a archive metadata and frame statistics from the "
+        "header index (no decode; our extension) and exit",
+    )
+    parser.add_argument(
+        "--verify", action="store_true",
+        help="integrity-check an .x3a archive without writing output: walk "
+        "every frame (resync past damage), verify every payload CRC, decode "
+        "every frame; exit 1 if anything is wrong (our extension)",
+    )
     parser.add_argument(
         "--engine",
         choices=["auto", "jax", "native", "numpy"],
@@ -55,6 +71,30 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
 
     in_type = get_filetype(args.input)
+    if args.info or args.verify:
+        if in_type != "x3a":
+            raise SystemExit("--info/--verify take an .x3a input.")
+        if args.info:
+            from .files import x3a_info
+
+            for k, v in x3a_info(args.input).items():
+                print(f"{k}: {v}")
+        if args.verify:
+            from .files import verify_x3a
+
+            report = verify_x3a(args.input, engine=args.engine, verbose=not args.quiet)
+            print(
+                f"{'ok' if report['ok'] else 'FAILED'}: "
+                f"{report['n_frames'] - report['frame_errors']}/{report['n_frames']} "
+                f"frames ok, {report['n_samples_ok']} samples, "
+                f"{report['skipped_bytes']} bytes skipped (engine={report['engine']})"
+            )
+            if not report["ok"]:
+                return 1
+        return 0
+
+    if args.output is None:
+        raise SystemExit("the following arguments are required: -o/--output")
     out_type = get_filetype(args.output)
     if in_type == out_type:
         raise SystemExit("Input must be different file type than output.")

@@ -359,6 +359,108 @@ def x3a_to_wav(
     return frame_errors
 
 
+def x3a_info(x3a_filename) -> dict:
+    """Archive metadata and frame statistics from the header index alone —
+    no payload byte is read or decoded (our extension, enabled by the
+    seek-based header walk; the same index X3aReader holds)."""
+    from . import constants
+
+    with open(x3a_filename, "rb") as f:
+        spec, header_size = archive.read_archive_header_file(f)
+        index = list(archive.walk_frames_file(f, header_size))
+        f.seek(0, 2)
+        size = f.tell()
+    n_samples = int(sum(h.samples for _, h in index))
+    payload_bytes = int(sum(h.payload_len for _, h in index))
+    pcm_bytes = 2 * n_samples
+    return {
+        "sample_rate": spec.sample_rate,
+        "block_len": spec.params.block_len,
+        "codes": list(spec.params.codes),
+        "thresholds": list(spec.params.thresholds),
+        "n_frames": len(index),
+        "n_samples": n_samples,
+        "duration_s": round(n_samples / spec.sample_rate, 3) if spec.sample_rate else None,
+        "archive_bytes": size,
+        "archive_header_bytes": header_size,
+        "frame_header_bytes": len(index) * constants.FRAME_HEADER_LENGTH,
+        "payload_bytes": payload_bytes,
+        "pcm_bytes": pcm_bytes,
+        "compression_ratio": round(pcm_bytes / size, 3) if size else 0.0,
+    }
+
+
+def verify_x3a(
+    x3a_filename,
+    engine: str = "auto",
+    batch_frames: int | None = None,
+    verbose: bool = False,
+) -> dict:
+    """Integrity-check an archive without producing output (the `flac -t`
+    analogue; our extension).  Every frame is walked with the resync
+    scanner — so damage PAST the first bad frame is still found, unlike the
+    reference's stop-at-first-error decode — every payload CRC is verified,
+    and every frame is decoded through the selected engine.
+
+    Returns a report dict; report["ok"] is True iff the archive is clean:
+    zero frame errors and every byte between the archive header and EOF
+    accounted for by a valid frame (bytes the sync scanner skipped, or an
+    unwalkable tail, count as skipped_bytes)."""
+    from . import constants
+
+    engine = resolve_engine(engine)
+    batch_frames = resolve_batch_frames(batch_frames, engine, decode=True)
+    n_frames = 0
+    n_samples_ok = 0
+    frame_errors = 0
+    skipped = 0
+    with open(x3a_filename, "rb") as f:
+        spec, header_size = archive.read_archive_header_file(f)
+        f.seek(0, 2)
+        size = f.tell()
+        walker = archive.walk_frames_file(f, header_size, resync=True)
+        expect = header_size  # where the next frame header should start
+        while True:
+            batch = []
+            for entry in walker:
+                batch.append(entry)
+                if len(batch) >= batch_frames:
+                    break
+            if not batch:
+                break
+            for off, h in batch:
+                hstart = off - constants.FRAME_HEADER_LENGTH
+                if hstart != expect:
+                    skipped += hstart - expect
+                    if verbose:
+                        print(f"skipped {hstart - expect} bytes at {expect} (sync rescue)")
+                expect = off + h.payload_len
+            payloads = _read_payloads(f, batch)
+            outs, errs = _decode_payload_batch(
+                payloads, [h for _, h in batch], spec.params, engine, resync=True
+            )
+            for i, ((_, h), err) in enumerate(zip(batch, errs)):
+                if err:
+                    frame_errors += 1
+                    if verbose:
+                        print(f"Frame error: frame {n_frames + i} failed to decode")
+                else:
+                    n_samples_ok += h.samples
+            n_frames += len(batch)
+        if size - expect > 0:
+            skipped += size - expect  # trailing bytes no valid frame covers
+            if verbose:
+                print(f"skipped {size - expect} trailing bytes at {expect}")
+    return {
+        "ok": frame_errors == 0 and skipped == 0,
+        "n_frames": n_frames,
+        "n_samples_ok": int(n_samples_ok),
+        "frame_errors": frame_errors,
+        "skipped_bytes": int(skipped),
+        "engine": engine,
+    }
+
+
 class X3aReader:
     """Streaming frame-by-frame reader (parity: decodefile.rs:47-137).
 
