@@ -162,6 +162,41 @@ def test_corrupt_sync_key_resync_recovers_tail(arch):
     np.testing.assert_array_equal(samples[-2 * SPF :], arch["wav"][-2 * SPF :])
 
 
+def test_verify_matches_resync_decode(arch):
+    """verify_x3a (the integrity tool) must agree with the resync decode
+    path on every engine and every structural mutation: same per-frame
+    error count, and the ok-sample total equals the resync WAV's length."""
+    from x3_tpu.files import verify_x3a
+
+    td, data = arch["td"], arch["data"]
+    s1, e1 = _frame_span(arch, 1)
+    corrupt = bytearray(data)
+    corrupt[s1 + 25] ^= 0xFF  # payload byte of frame 1
+    garbage = b"\x99" * 33
+    mutations = {
+        "pristine": data,
+        "corrupt_payload": bytes(corrupt),
+        "truncate_tail": data[:-50],
+        "garbage_mid": data[:s1] + garbage + data[s1:],
+        "delete_frame": data[:s1] + data[e1:],
+    }
+    for name, blob in mutations.items():
+        for eng in _engines():
+            xp = td / f"verify_{name}_{eng}.x3a"
+            wp = td / f"verify_{name}_{eng}.wav"
+            xp.write_bytes(blob)
+            rep = verify_x3a(xp, engine=eng)
+            n_err = x3a_to_wav(xp, wp, engine=eng, resync=True)
+            samples, _ = read_wav(wp)
+            assert rep["frame_errors"] == n_err, (name, eng, rep)
+            assert rep["n_samples_ok"] == len(samples), (name, eng, rep)
+            clean = name in ("pristine", "delete_frame")
+            assert rep["ok"] == clean, (name, eng, rep)
+            assert (rep["skipped_bytes"] > 0) == (name in ("truncate_tail", "garbage_mid")), (
+                name, eng, rep,
+            )
+
+
 def test_cross_params_splice_engines_agree(arch, tmp_path):
     """Splice a frame encoded under different params into the archive: the
     headers and payload CRCs are valid, so decoders interpret the payload
