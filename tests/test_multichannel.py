@@ -45,6 +45,36 @@ def test_multichannel_wav_roundtrip(tmp_path, rng):
     np.testing.assert_array_equal(got, chans)
 
 
+def test_x3m_info_and_verify(tmp_path, rng):
+    from x3_tpu.cli import main as cli_main
+    from x3_tpu.multichannel import verify_x3m, x3m_info
+
+    chans = np.stack([make_hydrophone(rng, 12_000), make_hydrophone(rng, 12_000, amplitude=9.0)])
+    mpath = encode_multichannel(chans, 48_000, tmp_path / "cap.x3m")
+
+    info = x3m_info(mpath)
+    assert info["channels"] == 2
+    assert info["sample_rate"] == 48_000
+    assert info["samples_per_channel"] == 12_000
+    assert info["pcm_bytes"] == 2 * 2 * 12_000
+    assert len(info["per_channel"]) == 2
+    assert info["compression_ratio"] > 1.0
+
+    rep = verify_x3m(mpath, engine="numpy")
+    assert rep["ok"] and rep["channels"] == 2 and rep["frame_errors"] == 0
+    assert cli_main(["-i", str(mpath), "--info", "--verify", "--engine", "numpy", "-q"]) == 0
+
+    # damage channel 1's archive: verify fails, the clean channel stays ok
+    ch1 = tmp_path / "cap.ch1.x3a"
+    data = bytearray(ch1.read_bytes())
+    data[-10] ^= 0xFF
+    ch1.write_bytes(bytes(data))
+    rep = verify_x3m(mpath, engine="numpy")
+    assert not rep["ok"]
+    assert rep["per_channel"][0]["ok"] and not rep["per_channel"][1]["ok"]
+    assert cli_main(["-i", str(mpath), "--verify", "--engine", "numpy", "-q"]) == 1
+
+
 def test_manifest_validation(tmp_path, rng):
     bad = tmp_path / "bad.x3m"
     bad.write_text('{"format": "nope"}')

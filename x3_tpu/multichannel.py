@@ -120,3 +120,56 @@ def x3m_to_wav(manifest_path, wav_path, engine: str = "auto") -> int:
     chans, rate = decode_multichannel(manifest_path, engine)
     write_wav_multichannel(wav_path, chans, rate)
     return chans.shape[0]
+
+
+def _load_manifest(manifest_path) -> tuple[dict, Path]:
+    mpath = Path(manifest_path)
+    manifest = json.loads(mpath.read_text())
+    if manifest.get("format") != "x3m":
+        raise X3Error(f"not an x3m manifest: {manifest_path}")
+    return manifest, mpath
+
+
+def x3m_info(manifest_path) -> dict:
+    """Manifest metadata + per-channel x3a_info (header-index only)."""
+    from .files import x3a_info
+
+    manifest, mpath = _load_manifest(manifest_path)
+    per_channel = [x3a_info(mpath.parent / name) for name in manifest["files"]]
+    total = sum(i["archive_bytes"] for i in per_channel)
+    pcm = sum(i["pcm_bytes"] for i in per_channel)
+    return {
+        "channels": manifest["channels"],
+        "sample_rate": manifest["sample_rate"],
+        "samples_per_channel": manifest.get("samples"),
+        "archive_bytes": total,
+        "pcm_bytes": pcm,
+        "compression_ratio": round(pcm / total, 3) if total else 0.0,
+        "files": list(manifest["files"]),
+        "per_channel": per_channel,
+    }
+
+
+def verify_x3m(manifest_path, engine: str = "auto", verbose: bool = False) -> dict:
+    """Integrity-check every channel archive of a manifest (verify_x3a per
+    channel, plus manifest consistency: channel count and sample counts)."""
+    from .files import verify_x3a
+
+    manifest, mpath = _load_manifest(manifest_path)
+    reports = []
+    ok = len(manifest["files"]) == manifest["channels"]
+    want = manifest.get("samples")
+    for name in manifest["files"]:
+        rep = verify_x3a(mpath.parent / name, engine=engine, verbose=verbose)
+        rep["file"] = name
+        if want is not None and rep["n_samples_ok"] != want:
+            rep["ok"] = False
+        ok = ok and rep["ok"]
+        reports.append(rep)
+    return {
+        "ok": ok,
+        "channels": len(reports),
+        "frame_errors": sum(r["frame_errors"] for r in reports),
+        "skipped_bytes": sum(r["skipped_bytes"] for r in reports),
+        "per_channel": reports,
+    }
