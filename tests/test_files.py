@@ -142,6 +142,19 @@ def test_x3a_info(tmp_path, rng):
     assert info["compression_ratio"] > 1.5  # hydrophone class compresses ~3x
     assert info["duration_s"] == pytest.approx(25_000 / 96_000, abs=1e-3)
 
+    # info stays usable on a damaged archive (resync walk): destroying
+    # frame 1's sync byte drops it from the stats instead of raising
+    data = bytearray(x3a_path.read_bytes())
+    hdr = archive.parse_archive_header(bytes(data))[1]
+    index = list(archive.walk_frames(bytes(data), hdr))
+    off1, _ = index[1]
+    data[off1 - 20] ^= 0xFF
+    dmg = tmp_path / "dmg.x3a"
+    dmg.write_bytes(bytes(data))
+    dinfo = x3a_info(dmg)
+    assert dinfo["n_frames"] == 2
+    assert dinfo["n_samples"] < 25_000
+
 
 @pytest.mark.parametrize("engine", ["numpy", "jax"])
 def test_verify_x3a(tmp_path, rng, engine):

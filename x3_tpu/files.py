@@ -362,12 +362,15 @@ def x3a_to_wav(
 def x3a_info(x3a_filename) -> dict:
     """Archive metadata and frame statistics from the header index alone —
     no payload byte is read or decoded (our extension, enabled by the
-    seek-based header walk; the same index X3aReader holds)."""
+    seek-based header walk; the same index X3aReader holds).  The walk uses
+    the resync scanner so damaged archives can still be inspected (the
+    statistics then cover the walkable frames; run verify_x3a for a full
+    integrity report)."""
     from . import constants
 
     with open(x3a_filename, "rb") as f:
         spec, header_size = archive.read_archive_header_file(f)
-        index = list(archive.walk_frames_file(f, header_size))
+        index = list(archive.walk_frames_file(f, header_size, resync=True))
         f.seek(0, 2)
         size = f.tell()
     n_samples = int(sum(h.samples for _, h in index))
