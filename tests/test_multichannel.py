@@ -80,3 +80,83 @@ def test_manifest_validation(tmp_path, rng):
     bad.write_text('{"format": "nope"}')
     with pytest.raises(X3Error):
         decode_multichannel(bad)
+
+
+def test_manifest_version_gate_everywhere(tmp_path, rng):
+    """A future-version manifest is rejected by EVERY consumer (decode,
+    info, verify) — the version check lives in the shared loader."""
+    from x3_tpu.multichannel import verify_x3m, x3m_info
+
+    chans = np.stack([make_hydrophone(rng, 5_000)])
+    mpath = encode_multichannel(chans, 48_000, tmp_path / "cap.x3m")
+    import json
+
+    manifest = json.loads(mpath.read_text())
+    manifest["version"] = 99
+    mpath.write_text(json.dumps(manifest))
+    for fn in (decode_multichannel, x3m_info, verify_x3m):
+        with pytest.raises(X3Error, match="version 99"):
+            fn(mpath)
+
+
+def test_verify_x3m_reports_reason_and_engine(tmp_path, rng):
+    """Manifest-consistency failures carry a visible reason, and the report's
+    engine is the resolved one, not the 'auto' alias (ADVICE r3 items 1+4)."""
+    import json
+
+    from x3_tpu.multichannel import verify_x3m
+
+    chans = np.stack([make_hydrophone(rng, 12_000), make_hydrophone(rng, 12_000, amplitude=6.0)])
+    mpath = encode_multichannel(chans, 48_000, tmp_path / "cap.x3m")
+    rep = verify_x3m(mpath, engine="numpy")
+    assert rep["ok"] and rep["engine"] == "numpy"
+
+    manifest = json.loads(mpath.read_text())
+    manifest["samples"] = 11_000  # lie about the per-channel sample count
+    mpath.write_text(json.dumps(manifest))
+    rep = verify_x3m(mpath, engine="numpy")
+    assert not rep["ok"]
+    assert rep["frame_errors"] == 0 and rep["skipped_bytes"] == 0
+    assert "12000 != manifest 11000" in rep["reason"]  # not a silent FAILED
+    assert all("12000 != manifest 11000" in r["reason"] for r in rep["per_channel"])
+
+    manifest["samples"] = 12_000
+    manifest["channels"] = 3  # channel-count mismatch
+    mpath.write_text(json.dumps(manifest))
+    rep = verify_x3m(mpath, engine="numpy")
+    assert not rep["ok"] and "channels=3" in rep["reason"]
+
+
+def test_verify_and_info_on_garbage_archive(tmp_path):
+    """A corrupt ARCHIVE header produces a clean FAILED report / exit, never
+    a traceback (ADVICE r3 item 3)."""
+    from x3_tpu.cli import main as cli_main
+    from x3_tpu.files import verify_x3a
+
+    junk = tmp_path / "junk.x3a"
+    junk.write_bytes(b"\x00\xffnot an archive at all" * 4)
+    rep = verify_x3a(junk, engine="numpy")
+    assert not rep["ok"] and "archive header invalid" in rep["reason"]
+    assert cli_main(["-i", str(junk), "--verify", "--engine", "numpy", "-q"]) == 1
+    with pytest.raises(SystemExit):
+        cli_main(["-i", str(junk), "--info"])
+    bad_manifest = tmp_path / "junk.x3m"
+    bad_manifest.write_text("{ not json")
+    with pytest.raises(SystemExit):
+        cli_main(["-i", str(bad_manifest), "--verify"])
+
+
+def test_x3m_to_wav_streams_in_windows(tmp_path, rng):
+    """The streaming x3m->wav path (multiple frame-aligned windows) is
+    byte-identical to the in-memory decode."""
+    from x3_tpu.multichannel import read_wav_multichannel
+
+    chans = np.stack([make_hydrophone(rng, 34_567), make_mixed(rng, 34_567)])
+    mpath = encode_multichannel(chans, 96_000, tmp_path / "cap.x3m")
+    out = tmp_path / "back.wav"
+    # batch_frames=1 forces one window per frame: several windows + a
+    # partial tail window exercise the window loop.
+    assert x3m_to_wav(mpath, out, engine="numpy", batch_frames=1) == 2
+    got, rate = read_wav_multichannel(out)
+    assert rate == 96_000
+    np.testing.assert_array_equal(got, chans)

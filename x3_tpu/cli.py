@@ -72,43 +72,52 @@ def main(argv=None) -> int:
 
     in_type = get_filetype(args.input)
     if args.info or args.verify:
+        from .errors import X3Error
+
         if in_type not in ("x3a", "x3m"):
             raise SystemExit("--info/--verify take an .x3a or .x3m input.")
-        if args.info:
-            if in_type == "x3a":
-                from .files import x3a_info
+        try:
+            if args.info:
+                if in_type == "x3a":
+                    from .files import x3a_info
 
-                info = x3a_info(args.input)
-            else:
-                from .multichannel import x3m_info
+                    info = x3a_info(args.input)
+                else:
+                    from .multichannel import x3m_info
 
-                info = x3m_info(args.input)
-                info.pop("per_channel")
-            for k, v in info.items():
-                print(f"{k}: {v}")
-        if args.verify:
-            if in_type == "x3a":
-                from .files import verify_x3a
+                    info = x3m_info(args.input)
+                    info.pop("per_channel")
+                for k, v in info.items():
+                    print(f"{k}: {v}")
+            if args.verify:
+                if in_type == "x3a":
+                    from .files import verify_x3a
 
-                report = verify_x3a(args.input, engine=args.engine, verbose=not args.quiet)
-                n_frames, engine = report["n_frames"], report["engine"]
-                detail = (
-                    f"{n_frames - report['frame_errors']}/{n_frames} frames ok, "
-                    f"{report['n_samples_ok']} samples"
+                    report = verify_x3a(args.input, engine=args.engine, verbose=not args.quiet)
+                    n_frames = report["n_frames"]
+                    detail = (
+                        f"{n_frames - report['frame_errors']}/{n_frames} frames ok, "
+                        f"{report['n_samples_ok']} samples"
+                    )
+                else:
+                    from .multichannel import verify_x3m
+
+                    report = verify_x3m(args.input, engine=args.engine, verbose=not args.quiet)
+                    detail = f"{report['channels']} channels"
+                print(
+                    f"{'ok' if report['ok'] else 'FAILED'}: {detail}, "
+                    f"{report['frame_errors']} frame errors, "
+                    f"{report['skipped_bytes']} bytes skipped (engine={report['engine']})"
                 )
-            else:
-                from .multichannel import verify_x3m
-
-                report = verify_x3m(args.input, engine=args.engine, verbose=not args.quiet)
-                engine = args.engine
-                detail = f"{report['channels']} channels"
-            print(
-                f"{'ok' if report['ok'] else 'FAILED'}: {detail}, "
-                f"{report['frame_errors']} frame errors, "
-                f"{report['skipped_bytes']} bytes skipped (engine={engine})"
-            )
-            if not report["ok"]:
-                return 1
+                if not report["ok"]:
+                    if report.get("reason"):
+                        print(f"reason: {report['reason']}")
+                    return 1
+        except (X3Error, OSError, ValueError) as e:
+            # Damaged-beyond-inspection inputs (unparseable archive/manifest,
+            # missing channel files) exit with a clean message, not a
+            # traceback — these tools exist to inspect damaged files.
+            raise SystemExit(f"error: {e}")
         return 0
 
     if args.output is None:

@@ -75,7 +75,7 @@ def wav_to_x3a(
     encoder.rs:67-74)."""
     from .streaming import StreamEncoder
 
-    engine = resolve_engine(engine)
+    engine = resolve_engine(engine, decode=False)
     batch_frames = resolve_batch_frames(batch_frames, engine, decode=False)
     params = params or Parameters()
     with wave.open(str(wav_filename), "rb") as w:
@@ -305,7 +305,7 @@ def x3a_to_wav(
     Streaming: frames are indexed with header-only seeks and decoded a batch
     at a time into an incrementally-written WAV, so peak memory is bounded by
     batch_frames regardless of archive size (decodefile.rs:44-45)."""
-    engine = resolve_engine(engine)
+    engine = resolve_engine(engine, decode=True)
     batch_frames = resolve_batch_frames(batch_frames, engine, decode=True)
     frame_errors = 0
     with open(x3a_filename, "rb") as f:
@@ -411,14 +411,28 @@ def verify_x3a(
     unwalkable tail, count as skipped_bytes)."""
     from . import constants
 
-    engine = resolve_engine(engine)
+    engine = resolve_engine(engine, decode=True)
     batch_frames = resolve_batch_frames(batch_frames, engine, decode=True)
     n_frames = 0
     n_samples_ok = 0
     frame_errors = 0
     skipped = 0
     with open(x3a_filename, "rb") as f:
-        spec, header_size = archive.read_archive_header_file(f)
+        try:
+            spec, header_size = archive.read_archive_header_file(f)
+        except X3Error as e:
+            # A damaged ARCHIVE header still yields a clean FAILED report —
+            # inspecting damaged files is the tool's purpose (a raise here
+            # would turn `--verify` into a traceback).
+            return {
+                "ok": False,
+                "n_frames": 0,
+                "n_samples_ok": 0,
+                "frame_errors": 0,
+                "skipped_bytes": 0,
+                "engine": engine,
+                "reason": f"archive header invalid: {e}",
+            }
         f.seek(0, 2)
         size = f.tell()
         walker = archive.walk_frames_file(f, header_size, resync=True)
@@ -475,7 +489,7 @@ class X3aReader:
         self._spec, header_size = archive.read_archive_header_file(self._f)
         self._index = list(archive.walk_frames_file(self._f, header_size))
         self._cursor = 0
-        self._engine = resolve_engine(engine)
+        self._engine = resolve_engine(engine, decode=True)
         self._batch_frames = resolve_batch_frames(batch_frames, self._engine, decode=True)
         self._cache: dict[int, np.ndarray | None] = {}
         self.frame_errors = 0

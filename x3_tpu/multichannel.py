@@ -63,28 +63,28 @@ def encode_multichannel(
     return mpath
 
 
-def decode_multichannel(manifest_path, engine: str = "auto"):
-    """Decode a .x3m manifest back to ([C, n] int16 samples, sample_rate)."""
-    from .multifile import decode_streams
+def decode_multichannel(manifest_path, engine: str = "auto", batch_frames: int | None = None):
+    """Decode a .x3m manifest back to ([C, n] int16 samples, sample_rate).
 
-    mpath = Path(manifest_path)
-    manifest = json.loads(mpath.read_text())
-    if manifest.get("format") != "x3m":
-        raise X3Error(f"not an x3m manifest: {manifest_path}")
-    if manifest.get("version", 0) > MANIFEST_VERSION:
-        raise X3Error(f"unsupported x3m version {manifest['version']}")
-    archives = [(mpath.parent / name).read_bytes() for name in manifest["files"]]
-    decoded = decode_streams(archives)
+    Channels stream through files.X3aReader (header-index + per-batch seek
+    reads), so beyond the output array only one decode batch is resident —
+    the compressed archives are never held in memory, and the engine choice
+    is honored per channel."""
+    from .files import X3aReader
+
+    manifest, mpath = _load_manifest(manifest_path)
+    rate = manifest["sample_rate"]
     chans = []
-    for (samples, rate), _ in zip(decoded, manifest["files"]):
-        if rate != manifest["sample_rate"]:
-            raise X3Error("manifest/archive sample rate mismatch")
-        chans.append(samples)
+    for name in manifest["files"]:
+        with X3aReader(mpath.parent / name, engine=engine, batch_frames=batch_frames) as r:
+            if r.spec.sample_rate != rate:
+                raise X3Error("manifest/archive sample rate mismatch")
+            chans.append(r.read_samples(0, r.n_samples))
     n = manifest.get("samples")
     out = np.stack(chans)
     if n is not None and out.shape[1] != n:
         raise X3Error(f"decoded {out.shape[1]} samples, manifest says {n}")
-    return out, manifest["sample_rate"]
+    return out, rate
 
 
 def read_wav_multichannel(path):
@@ -115,18 +115,62 @@ def wav_to_x3m(wav_path, base_path, params: Parameters | None = None, mesh=None)
     return encode_multichannel(chans, rate, base_path, params, mesh)
 
 
-def x3m_to_wav(manifest_path, wav_path, engine: str = "auto") -> int:
-    """Manifest -> multi-channel WAV.  Returns the channel count."""
-    chans, rate = decode_multichannel(manifest_path, engine)
-    write_wav_multichannel(wav_path, chans, rate)
-    return chans.shape[0]
+def x3m_to_wav(manifest_path, wav_path, engine: str = "auto", batch_frames: int | None = None) -> int:
+    """Manifest -> multi-channel WAV.  Returns the channel count.
+
+    Streaming: each channel reads through files.X3aReader and the WAV is
+    written in frame-aligned sample windows, so peak RSS is O(channels x
+    batch) regardless of capture length — the bounded-memory invariant the
+    mono decode paths honor (decodefile.rs:44-45 parity;
+    tests/test_bounded_memory.py)."""
+    from .engine import resolve_engine
+    from .files import X3aReader, resolve_batch_frames
+
+    manifest, mpath = _load_manifest(manifest_path)
+    rate = manifest["sample_rate"]
+    readers = [
+        X3aReader(mpath.parent / name, engine=engine, batch_frames=batch_frames)
+        for name in manifest["files"]
+    ]
+    try:
+        for r in readers:
+            if r.spec.sample_rate != rate:
+                raise X3Error("manifest/archive sample rate mismatch")
+        total = readers[0].n_samples
+        for r in readers[1:]:
+            if r.n_samples != total:
+                raise X3Error("channel archives disagree on sample count")
+        want = manifest.get("samples")
+        if want is not None and total != want:
+            raise X3Error(f"decoded {total} samples, manifest says {want}")
+        # One decode batch of whole frames per window: read_samples never
+        # splits a cached batch, so each payload is decoded exactly once.
+        bf = resolve_batch_frames(batch_frames, resolve_engine(engine), decode=True)
+        win = max(1, bf) * readers[0].spec.params.samples_per_frame
+        with wave.open(str(wav_path), "wb") as w:
+            w.setnchannels(len(readers))
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            for start in range(0, total, win):
+                n = min(win, total - start)
+                block = np.stack([r.read_samples(start, n) for r in readers])
+                w.writeframes(np.ascontiguousarray(block.T.astype("<i2")).tobytes())
+        return len(readers)
+    finally:
+        for r in readers:
+            r.close()
 
 
 def _load_manifest(manifest_path) -> tuple[dict, Path]:
+    """Parse + validate an .x3m manifest (format marker and version gate —
+    shared by every manifest consumer so a future-version manifest is never
+    inspected or verified under wrong semantics)."""
     mpath = Path(manifest_path)
     manifest = json.loads(mpath.read_text())
     if manifest.get("format") != "x3m":
         raise X3Error(f"not an x3m manifest: {manifest_path}")
+    if manifest.get("version", 0) > MANIFEST_VERSION:
+        raise X3Error(f"unsupported x3m version {manifest['version']}")
     return manifest, mpath
 
 
@@ -152,24 +196,47 @@ def x3m_info(manifest_path) -> dict:
 
 def verify_x3m(manifest_path, engine: str = "auto", verbose: bool = False) -> dict:
     """Integrity-check every channel archive of a manifest (verify_x3a per
-    channel, plus manifest consistency: channel count and sample counts)."""
+    channel, plus manifest consistency: channel count and sample counts).
+    Failures carry a ``reason`` (printed when verbose) so a FAILED verdict
+    with zero frame errors is never silent; ``engine`` reports the engine
+    actually used (the per-channel resolution, not the 'auto' alias)."""
+    from .engine import resolve_engine
     from .files import verify_x3a
 
     manifest, mpath = _load_manifest(manifest_path)
     reports = []
-    ok = len(manifest["files"]) == manifest["channels"]
+    ok = True
+    reason = None
+    if len(manifest["files"]) != manifest["channels"]:
+        ok = False
+        reason = (
+            f"manifest lists {len(manifest['files'])} files "
+            f"but says channels={manifest['channels']}"
+        )
+        if verbose:
+            print(reason)
     want = manifest.get("samples")
     for name in manifest["files"]:
         rep = verify_x3a(mpath.parent / name, engine=engine, verbose=verbose)
         rep["file"] = name
         if want is not None and rep["n_samples_ok"] != want:
             rep["ok"] = False
+            rep.setdefault("reason", f"sample count {rep['n_samples_ok']} != manifest {want}")
+            if verbose:
+                print(f"{name}: {rep['reason']}")
         ok = ok and rep["ok"]
         reports.append(rep)
-    return {
+    out = {
         "ok": ok,
         "channels": len(reports),
+        "engine": reports[0]["engine"] if reports else resolve_engine(engine),
         "frame_errors": sum(r["frame_errors"] for r in reports),
         "skipped_bytes": sum(r["skipped_bytes"] for r in reports),
         "per_channel": reports,
     }
+    if reason is None:
+        # Surface the first failed channel's reason (if any) at the top level.
+        reason = next((r.get("reason") for r in reports if not r["ok"] and r.get("reason")), None)
+    if reason is not None:
+        out["reason"] = reason
+    return out
