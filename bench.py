@@ -242,34 +242,50 @@ def main():
     n_check = 2 * spf
     exact = res.data.startswith(oracle.encode(wav[:n_check], params))
 
-    # --- end-to-end FILE conversion, auto-routed engine (the reference's
-    #     80/52 MB/s baselines are end-to-end file numbers, timings.csv:74) ---
+    # --- end-to-end FILE conversion, auto-routed engine, PER CLASS (the
+    #     reference's 80/52 MB/s baselines are end-to-end file numbers,
+    #     timings.csv:74).  Best-of-N back-to-back per direction: this
+    #     sandbox host has hypervisor steal-time phases that poison
+    #     single-shot wall timings by up to ±2x (ROADMAP round-3 notes);
+    #     best-of-5 matches the builder's A/B methodology so BENCH_rN e2e
+    #     numbers are comparable across rounds. ---
     import tempfile
 
     from x3_tpu.files import wav_to_x3a, x3a_to_wav
     from x3_tpu.utils.wav import read_wav, write_wav
 
-    with tempfile.TemporaryDirectory() as td:
-        wp, xp, bp = f"{td}/b.wav", f"{td}/b.x3a", f"{td}/back.wav"
-        write_wav(wp, wav, 96000)
-        wav_to_x3a(wp, xp)  # warm (builds the native lib on first use)
-        # best-of-3: the sandbox host has hypervisor steal-time spikes that
-        # poison single-shot wall timings (ROADMAP round-3 notes)
-        ts = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            wav_to_x3a(wp, xp)
-            ts.append(time.perf_counter() - t0)
-        e2e_encode_mbs = e2e_mb / min(ts)
-        errors = x3a_to_wav(xp, bp)  # warm
-        ts = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            errors = x3a_to_wav(xp, bp)
-            ts.append(time.perf_counter() - t0)
-        e2e_decode_mbs = e2e_mb / min(ts)
-        back, _ = read_wav(bp)
-        e2e_exact = errors == 0 and np.array_equal(back, wav)
+    e2e_reps = int(os.environ.get("X3_BENCH_E2E_REPS", "5"))
+
+    def bench_e2e(cwav: np.ndarray) -> dict:
+        mb = cwav.nbytes / 1e6
+        with tempfile.TemporaryDirectory() as td:
+            wp, xp, bp = f"{td}/b.wav", f"{td}/b.x3a", f"{td}/back.wav"
+            write_wav(wp, cwav, 96000)
+            wav_to_x3a(wp, xp)  # warm (builds the native lib on first use)
+            enc_ts, dec_ts = [], []
+            for _ in range(e2e_reps):
+                t0 = time.perf_counter()
+                wav_to_x3a(wp, xp)
+                enc_ts.append(time.perf_counter() - t0)
+            errors = x3a_to_wav(xp, bp)  # warm
+            for _ in range(e2e_reps):
+                t0 = time.perf_counter()
+                errors = x3a_to_wav(xp, bp)
+                dec_ts.append(time.perf_counter() - t0)
+            back, _ = read_wav(bp)
+            return {
+                "e2e_encode_mbs": round(mb / min(enc_ts), 1),
+                "e2e_decode_mbs": round(mb / min(dec_ts), 1),
+                "e2e_exact": bool(errors == 0 and np.array_equal(back, cwav)),
+            }
+
+    for cname in classes:
+        cwav = wav if cname == "hydrophone" else make_class_corpus(cname, n_corpus_frames, spf)
+        classes[cname].update(bench_e2e(cwav))
+
+    e2e_encode_mbs = classes["hydrophone"]["e2e_encode_mbs"]
+    e2e_decode_mbs = classes["hydrophone"]["e2e_decode_mbs"]
+    e2e_exact = all(c["e2e_exact"] for c in classes.values())
 
     print(json.dumps({
         "metric": "encode_throughput",

@@ -16,7 +16,6 @@ from __future__ import annotations
 import argparse
 import os
 import resource
-import shutil
 import subprocess
 import sys
 import tempfile
@@ -55,7 +54,9 @@ def synth_files(n: int, tmpdir: Path) -> list[Path]:
 
 
 def bench_flac(wav_path: Path, tmpdir: Path):
-    flac = shutil.which("flac")
+    from x3_tpu.utils.extbin import find_flac
+
+    flac = find_flac()
     if not flac:
         return "#N/A", "#N/A", "#N/A"
     out = tmpdir / (wav_path.stem + ".flac")

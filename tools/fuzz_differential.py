@@ -63,6 +63,53 @@ def make_signal(rng, n, kind):
     return out
 
 
+def ref_file_differential(ref_bin: str, wav: np.ndarray, ctx: str) -> int:
+    """Roundtrip `wav` through the reference binary and our file layer;
+    archives must be byte-identical and cross-decodes bit-exact."""
+    import tempfile
+
+    from x3_tpu.files import wav_to_x3a, x3a_to_wav
+    from x3_tpu.utils.extbin import ref_convert
+    from x3_tpu.utils.wav import read_wav, write_wav
+
+    failures = 0
+    with tempfile.TemporaryDirectory() as td:
+        tmp = Path(td)
+        wp = tmp / "t.wav"
+        write_wav(wp, wav, 96_000)
+        ours, refs = tmp / "ours.x3a", tmp / "ref.x3a"
+        wav_to_x3a(wp, ours)
+        try:
+            ref_convert(ref_bin, wp, refs)
+        except Exception as e:  # noqa: BLE001 — gate must report, not die
+            print(f"FAIL refbin encode {type(e).__name__}: {e} ({ctx})")
+            return 1
+        if ours.read_bytes() != refs.read_bytes():
+            print(f"FAIL refbin archive cmp mismatch ({ctx})")
+            failures += 1
+        back = tmp / "back.wav"
+        try:
+            if x3a_to_wav(refs, back) != 0:
+                raise ValueError("frame errors")
+            got, _ = read_wav(back)
+            if not np.array_equal(got, wav):
+                print(f"FAIL our decode of refbin archive differs ({ctx})")
+                failures += 1
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL our decode of refbin archive: {type(e).__name__}: {e} ({ctx})")
+            failures += 1
+        try:
+            ref_convert(ref_bin, ours, back)
+            got, _ = read_wav(back)
+            if not np.array_equal(got, wav):
+                print(f"FAIL refbin decode of our archive differs ({ctx})")
+                failures += 1
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL refbin decode {type(e).__name__}: {e} ({ctx})")
+            failures += 1
+    return failures
+
+
 def run_campaign(trials: int, seed: int, verbose: bool = False) -> int:
     from x3_tpu import native
     from x3_tpu.errors import X3Error
@@ -70,6 +117,15 @@ def run_campaign(trials: int, seed: int, verbose: bool = False) -> int:
     from x3_tpu.models.decoder import decode_frames_batch
     from x3_tpu.models.encoder import encode
     from x3_tpu.params import Parameters
+    from x3_tpu.utils.extbin import find_reference_x3
+
+    # Self-upgrading gate (SURVEY §4): when a reference `x3` binary exists,
+    # default-geometry trials additionally roundtrip through it at the file
+    # layer (byte cmp of archives + cross-decode); the reference CLI runs
+    # fixed default parameters, so only those trials qualify.
+    ref_bin = find_reference_x3()
+    if ref_bin:
+        print(f"reference x3 binary: {ref_bin} (file-layer differential active)")
 
     have_native = native.available()
     rng = np.random.default_rng(seed)
@@ -156,6 +212,10 @@ def run_campaign(trials: int, seed: int, verbose: bool = False) -> int:
                             print(f"FAIL corrupt sample divergence: {ctx}")
                             failures += 1
                             break
+            # reference-binary file-layer differential (default geometry only:
+            # the reference CLI has no parameter flags, bin/x3.rs)
+            if ref_bin and geo == GEOMETRIES[0] and n > 0:
+                failures += ref_file_differential(ref_bin, wav, ctx)
         except Exception as e:  # noqa: BLE001 — campaign must report, not die
             print(f"FAIL exception {type(e).__name__}: {e} ({ctx})")
             failures += 1

@@ -63,6 +63,7 @@ def main() -> int:
     args = ap.parse_args()
 
     from x3_tpu.files import wav_to_x3a, x3a_to_wav
+    from x3_tpu.utils.extbin import find_reference_x3, ref_convert
     from x3_tpu.utils.wav import read_wav
     from x3_tpu import native
 
@@ -75,11 +76,23 @@ def main() -> int:
         print("no .wav files found")
         return 2
 
+    # Self-upgrading gate (SURVEY §4): with a reference `x3` binary present
+    # the roundtrip adds byte-level cmp of whole archives plus cross-decodes
+    # in both directions; absent, it anchors to the oracle + golden vectors.
+    ref_bin = find_reference_x3()
+    print(
+        f"reference x3 binary: {ref_bin} (byte-level cmp active)"
+        if ref_bin
+        else "reference x3 binary: not found — byte-level cmp skipped "
+        "(set X3_REFERENCE_BIN or put `x3` on PATH)"
+    )
+
     engines = [e for e in args.engines.split(",") if e != "native" or native.available()]
     failures = 0
     for wav_path in paths:
         orig, rate = read_wav(wav_path)
         archives = {}
+        our_x3a = None
         for engine in engines:
             x3a = tmp / f"{wav_path.stem}.{engine}.x3a"
             back = tmp / f"{wav_path.stem}.{engine}.wav"
@@ -88,6 +101,7 @@ def main() -> int:
             got, grate = read_wav(back)
             ok = errors == 0 and grate == rate and np.array_equal(got, orig)
             archives[engine] = x3a.read_bytes()
+            our_x3a = x3a
             status = "OK" if ok else "FAIL"
             ratio = orig.nbytes / len(archives[engine])
             print(f"{wav_path.name:24s} {engine:6s} {status}  ratio={ratio:5.2f}x")
@@ -95,6 +109,32 @@ def main() -> int:
         if len(set(archives.values())) != 1:
             print(f"{wav_path.name:24s} CROSS-ENGINE ARCHIVE MISMATCH")
             failures += 1
+        if ref_bin and our_x3a is not None:
+            ref_x3a = tmp / f"{wav_path.stem}.ref.x3a"
+            ref_back = tmp / f"{wav_path.stem}.refback.wav"
+            our_back = tmp / f"{wav_path.stem}.oursref.wav"
+            try:
+                # reference encodes -> archives must be byte-identical
+                ref_convert(ref_bin, wav_path, ref_x3a)
+                if ref_x3a.read_bytes() != archives[engines[0]]:
+                    print(f"{wav_path.name:24s} REFERENCE ARCHIVE CMP MISMATCH")
+                    failures += 1
+                # reference decodes OUR archive
+                ref_convert(ref_bin, our_x3a, ref_back)
+                got, grate = read_wav(ref_back)
+                if grate != rate or not np.array_equal(got, orig):
+                    print(f"{wav_path.name:24s} REFERENCE DECODE OF OUR ARCHIVE DIFFERS")
+                    failures += 1
+                # we decode the REFERENCE's archive
+                errors = x3a_to_wav(ref_x3a, our_back, engine=engines[0])
+                got, grate = read_wav(our_back)
+                if errors != 0 or grate != rate or not np.array_equal(got, orig):
+                    print(f"{wav_path.name:24s} OUR DECODE OF REFERENCE ARCHIVE DIFFERS")
+                    failures += 1
+                print(f"{wav_path.name:24s} refbin OK (cmp + both cross-decodes)")
+            except Exception as e:  # noqa: BLE001 — gate must report, not die
+                print(f"{wav_path.name:24s} REFBIN FAIL {type(e).__name__}: {e}")
+                failures += 1
     print(f"\n{len(paths)} files x {len(engines)} engines: "
           f"{'ALL BIT-EXACT' if failures == 0 else f'{failures} FAILURES'}")
     return 0 if failures == 0 else 1
