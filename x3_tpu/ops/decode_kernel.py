@@ -340,7 +340,13 @@ def _decode_impl(payload: jax.Array, n_samples: jax.Array, payload_lens: jax.Arr
             if L <= 24:
                 # Small blocks (incl. the default 20): fully unrolled; each
                 # sample extracts its window independently — short
-                # dependency chains, everything fuses.
+                # dependency chains, everything fuses.  (Vectorizing the
+                # fixed-width ftype-0 lanes at affine offsets with a
+                # Rice-only serial walk + per-lane blend was tried and
+                # measured NEGATIVE on every class — see ROADMAP round-4
+                # item 1: the step is compute-bound, so the duplicated
+                # extraction work costs more than the serial-chain trim
+                # saves.)
                 outs = []
                 for k in range(L):
                     valid = valid_block & ((block_first + k) < n)

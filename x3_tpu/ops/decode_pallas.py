@@ -1,0 +1,282 @@
+"""Pallas TPU decode kernel: VMEM-resident payloads, zero per-step HBM gathers.
+
+The XLA decode scan (ops/decode_kernel.py) pays a data-dependent HBM gather
+every chunk step (~17 us/step at F=2048 — the profiled dominant cost; see
+ROADMAP).  At compact width rungs the whole payload tile fits VMEM, so this
+kernel holds it resident and replaces the gather with shifted one-hot
+select-accumulates over the resident words — pure VPU work at VMEM
+bandwidth.  The bit-walk math (barrel realign, bounded-depth extraction,
+branch-free Rice/BFP decode per decoder.rs:36-235) is the same as the XLA
+kernel and bit-identical by test.
+
+Structure (TPU grid iterates the last axis innermost, sequentially):
+
+  grid = (lane_tiles, steps)
+    words  [W_pad, F] u32   block (W_pad, TF) @ (0, i)  — resident across j
+    n, plen8 [1, F] i32     block (1, TF)    @ (0, i)
+    out    [steps*U*L, F] i16  block (U*L, TF) @ (j, i) — streamed out by
+                                the pallas pipeline, overlapped with compute
+    err/off [1, F] i32      written at the last step
+    scratch: off/last/err [TF] i32 — the walk state carried across steps
+
+Lanes are the minor axis throughout, so every per-sample op is a full-width
+VPU op over the lane tile (same layout discipline as ops/pack_pallas.py).
+The raw first sample (sample 0) and the overrun check stay in the XLA
+wrapper.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..params import Parameters
+from .. import constants
+from .decode_kernel import (
+    ERR_INVALID_BPF,
+    ERR_OK,
+    ERR_OOB_INVERSE,
+    ERR_OVERRUN,
+    _barrel,
+    _decode_tables,
+    _gather_geometry,
+    _inv_rice,
+    _wrap16,
+)
+from .encode_kernel import block_buffer_words, frame_geometry, frame_geometry_blocks
+
+# Lane tile: sized so the resident words block stays within the VMEM budget
+# at each width rung (TF * W_pad * 4 bytes; 16 MB/core total).  The pallas
+# pipeline DOUBLE-BUFFERS input blocks even when the index map is constant
+# (measured: W_pad=4224/TF=512 OOMed at 16.66M = 2 x 8.3M words block), so
+# the budget is half of VMEM minus headroom for the out blocks + window.
+def lane_tile(w_pad: int) -> int:
+    budget = 4_750_000
+    tf = budget // (w_pad * 4)
+    tf = min(2048, max(256, (tf // 256) * 256))
+    return tf
+
+
+def _pad_words(W: int, G: int, K: int) -> int:
+    return K * G + (-(W + K * G)) % G
+
+
+def decode_frames_pallas(
+    payload: jax.Array,
+    n_samples: jax.Array,
+    payload_lens: jax.Array,
+    params: Parameters,
+    n_blocks: int | None = None,
+    interpret: bool = False,
+):
+    """Decode [F, W*4] zero-padded payload bytes (same contract as
+    decode_kernel.decode_frames).  Returns (samples int16 [F, S], err [F])."""
+    if n_blocks is None:
+        S, B, L, WFULL = frame_geometry(params)
+    else:
+        S, B, L, WFULL = frame_geometry_blocks(params, n_blocks)
+    if L > 24:
+        raise NotImplementedError("pallas decode covers the unrolled path (L <= 24)")
+    F = payload.shape[0]
+    W = payload.shape[1] // 4
+
+    by = payload.reshape(F, W, 4)
+    words = (
+        (by[:, :, 0].astype(jnp.uint32) << 24)
+        | (by[:, :, 1].astype(jnp.uint32) << 16)
+        | (by[:, :, 2].astype(jnp.uint32) << 8)
+        | by[:, :, 3].astype(jnp.uint32)
+    )
+    first = _wrap16(((words[:, 0] >> 16) & 0xFFFF).astype(jnp.int32))
+
+    out_t, err, off = _decode_pallas_impl(
+        words.T, n_samples.astype(jnp.int32), payload_lens.astype(jnp.int32),
+        params, B, L, W, interpret,
+    )
+    out = jnp.concatenate([first.astype(jnp.int16)[:, None], out_t.T], axis=1)[:, :S]
+    err = jnp.where(
+        err != ERR_OK, err, jnp.where(off > jnp.int32(WFULL * 32), ERR_OVERRUN, ERR_OK)
+    )
+    return out, err
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
+def _decode_pallas_impl(words_t, n, plens, params, B, L, W, interpret):
+    from jax.experimental import pallas as pl
+
+    WIN = block_buffer_words(params)
+    nsubs_np, invlen_np = _decode_tables(params)
+    # TPU gather geometry; under interpret (CPU tests) force the TPU config
+    # so the tested kernel is the one that runs on the chip.
+    G, K = 64, max(2, -(-(64 - 1 + WIN + ((6 + 16 * L + 31) // 32 + 1)) // 64))
+    maxadv = (6 + 16 * L + 31) // 32 + 1
+    # Cap U at the default-geometry TPU value: tiny geometries would admit
+    # U=15+, which blows up the traced kernel body (the known XLA wide-chunk
+    # compile explosion — CLAUDE.md) for no amortization benefit here (the
+    # window select reads VMEM, not HBM).
+    U = min(4, max(1, (K * G - G + 1 - WIN) // maxadv))
+    steps = -(-B // U)
+    gbits = G.bit_length() - 1
+
+    F = words_t.shape[1]
+    pad_w = _pad_words(W, G, K)
+    W_pad = W + pad_w
+    Wg = W_pad // G
+    TF = lane_tile(W_pad)
+    # Pad lanes to the tile (dummy lanes: n=0 decodes nothing, err ignored).
+    F_pad = -(-F // TF) * TF
+    if F_pad != F:
+        words_t = jnp.pad(words_t, ((0, 0), (0, F_pad - F)))
+        n = jnp.pad(n, (0, F_pad - F))
+        plens = jnp.pad(plens, (0, F_pad - F))
+    words_t = jnp.pad(words_t, ((0, pad_w), (0, 0)))
+    UL = U * L
+
+    def kernel(words_ref, n_ref, plen_ref, out_ref, err_ref, offout_ref,
+               off_s, last_s, err_s):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _init():
+            off_s[:] = jnp.full((TF,), 16, jnp.int32)
+            last_s[:] = _wrap16(((words_ref[0, :] >> 16) & 0xFFFF).astype(jnp.int32))
+            err_s[:] = jnp.zeros((TF,), jnp.int32)
+
+        nn = n_ref[0, :]
+        plen8 = plen_ref[0, :] * 8
+        off = off_s[:]
+        last = last_s[:]
+        err = err_s[:]
+
+        # ---- shared window for U blocks: K G-word slices selected from the
+        # resident words by a shifted one-hot select-accumulate (the pallas
+        # replacement for the XLA scan's dependent HBM gather) ----
+        sw0 = jnp.clip(off >> 5, 0, W - 1)
+        q = jnp.clip(sw0 >> gbits, 0, Wg - K)
+        acc = [jnp.zeros((G, TF), jnp.uint32) for _ in range(K)]
+        for jj in range(Wg - K + 1):
+            m = (q == jj)[None, :]
+            for k in range(K):
+                slab = words_ref[(jj + k) * G : (jj + k + 1) * G, :]
+                acc[k] = jnp.where(m, slab, acc[k])
+        rawl = [acc[k][g, :] for k in range(K) for g in range(G)]
+        base_word = q << gbits
+
+        nsubs_f2, nsubs_f3 = int(nsubs_np[2]), int(nsubs_np[3])
+        invlen_1, invlen_2, invlen_3 = (
+            int(invlen_np[1]), int(invlen_np[2]), int(invlen_np[3]),
+        )
+
+        chunk_rows = []
+        for u in range(U):
+            b_iota = j * U + u  # traced (j is a grid index)
+            block_first = 1 + b_iota * L
+            valid_block = block_first < nn
+
+            sw = jnp.clip(off >> 5, 0, W - 1)
+            delta = jnp.clip(sw - base_word, 0, K * G - WIN)
+            winl = _barrel(rawl, delta, WIN, K * G - WIN)
+            rel = off - ((base_word + delta) << 5)
+
+            def extract32(rel, kmax=None):
+                qq = rel >> 5
+                r = (rel & 31).astype(jnp.uint32)
+                hi = WIN - 1 if kmax is None else min(WIN - 1, kmax)
+                w0, w1 = _barrel(winl, qq, 2, hi)
+                return (w0 << r) | ((w1 >> (31 - r)) >> 1)
+
+            hdr = extract32(rel, kmax=1)
+            ftype = (hdr >> 30).astype(jnp.int32)
+            dec_nb = ((hdr >> 26) & 0xF).astype(jnp.int32) + 1
+            is_hdr0 = ftype == 0
+            is_pass = is_hdr0 & (dec_nb == 16)
+            bpf_err = valid_block & is_hdr0 & (dec_nb <= 5)
+            rel = rel + jnp.where(is_hdr0, constants.BFP_HDR_LEN, constants.RICE_HDR_LEN)
+
+            nsubs_f = jnp.where(ftype == 2, nsubs_f2, nsubs_f3)
+            invlen_f = jnp.where(
+                ftype == 1, invlen_1, jnp.where(ftype == 2, invlen_2, invlen_3)
+            )
+            level = (1 << nsubs_f).astype(jnp.int32)
+            nbsuf = jnp.where(ftype == 2, 2, 4)
+            dec_nb_u = jnp.clip(dec_nb, 1, 31).astype(jnp.uint32)
+            neg_thresh = 1 << jnp.clip(dec_nb - 1, 0, 30)
+
+            oob = jnp.zeros_like(valid_block)
+            rel_end = plen8 - ((base_word + delta) << 5)
+            outs = []
+            for k in range(L):
+                valid = valid_block & ((block_first + k) < nn)
+                win32 = extract32(rel, kmax=(37 + 16 * k) >> 5)
+                cap = rel_end - rel
+                zeros = jnp.minimum(
+                    jax.lax.clz(win32).astype(jnp.int32), jnp.maximum(cap, 0)
+                )
+                zc = jnp.clip(zeros, 0, 31).astype(jnp.uint32)
+                suffix = ((win32 << zc) >> (32 - nbsuf.astype(jnp.uint32))).astype(jnp.int32)
+                idx = jnp.where(ftype == 1, zeros, suffix + level * (zeros - 1))
+                is_rice = ftype >= 1
+                oob = oob | (valid & is_rice & ((idx < 0) | (idx >= invlen_f)))
+                delta_rice = _inv_rice(jnp.clip(idx, 0, 59))
+                a = (win32 >> (32 - dec_nb_u)).astype(jnp.int32)
+                delta_bfp = a - jnp.where(a > neg_thresh, neg_thresh * 2, 0)
+                v_pass = _wrap16((win32 >> 16).astype(jnp.int32))
+                dlt = jnp.where(is_rice, delta_rice, delta_bfp)
+                new = jnp.where(is_pass, v_pass, _wrap16(last + dlt))
+                consume = jnp.where(
+                    ftype == 1, zeros + 1, jnp.where(is_rice, zeros + nbsuf, dec_nb)
+                )
+                consume = jnp.minimum(consume, 16)
+                rel = rel + jnp.where(valid, consume, 0)
+                last = jnp.where(valid, new, last)
+                outs.append(new.astype(jnp.int16))
+
+            off = ((base_word + delta) << 5) + rel
+            blk_code = jnp.where(
+                bpf_err, ERR_INVALID_BPF, jnp.where(oob, ERR_OOB_INVERSE, ERR_OK)
+            )
+            err = jnp.where(err != ERR_OK, err, blk_code)
+            chunk_rows.extend(outs)
+
+        out_ref[:, :] = jnp.stack(chunk_rows, axis=0)  # [U*L, TF]
+        off_s[:] = off
+        last_s[:] = last
+        err_s[:] = err
+
+        @pl.when(j == steps - 1)
+        def _fin():
+            err_ref[0, :] = err
+            offout_ref[0, :] = off
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    n2 = n[None, :]
+    plens2 = plens[None, :]
+    out_t, err, off = pl.pallas_call(
+        kernel,
+        grid=(F_pad // TF, steps),
+        in_specs=[
+            pl.BlockSpec((W_pad, TF), lambda i, j: (0, i)),
+            pl.BlockSpec((1, TF), lambda i, j: (0, i)),
+            pl.BlockSpec((1, TF), lambda i, j: (0, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((UL, TF), lambda i, j: (j, i)),
+            pl.BlockSpec((1, TF), lambda i, j: (0, i)),
+            pl.BlockSpec((1, TF), lambda i, j: (0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((steps * UL, F_pad), jnp.int16),
+            jax.ShapeDtypeStruct((1, F_pad), jnp.int32),
+            jax.ShapeDtypeStruct((1, F_pad), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((TF,), jnp.int32),
+            pltpu.VMEM((TF,), jnp.int32),
+            pltpu.VMEM((TF,), jnp.int32),
+        ],
+        interpret=interpret,
+    )(words_t, n2, plens2)
+    return out_t[:, :F], err[0, :F], off[0, :F]
