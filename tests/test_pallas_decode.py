@@ -80,6 +80,77 @@ def test_pallas_error_flags(rng):
     np.testing.assert_array_equal(np.asarray(goterr), np.asarray(referr))
 
 
+def test_pallas_dma_words_geometry(rng):
+    """The dma_words TPU geometry (single-buffered VMEM scratch filled by
+    one async copy per lane tile — the production default on chip) must be
+    bit-identical to the pipelined path."""
+    spf = TINY.samples_per_frame
+    wav = np.concatenate(
+        [make_mixed(rng, spf), rng.integers(-32768, 32768, spf)]
+    ).astype(np.int16)
+    payloads, counts = _frames_of(oracle.encode(wav, TINY))
+    import jax.numpy as jnp
+
+    from x3_tpu.ops.decode_kernel import decode_frames
+    from x3_tpu.ops.decode_pallas import decode_frames_pallas
+
+    W = 64
+    buf = np.zeros((len(payloads), W * 4), np.uint8)
+    for i, p in enumerate(payloads):
+        buf[i, : len(p)] = np.frombuffer(p, np.uint8)
+    ns = jnp.asarray(counts, jnp.int32)
+    pls = jnp.asarray([len(p) for p in payloads], jnp.int32)
+    ref, referr = decode_frames(jnp.asarray(buf), ns, pls, TINY)
+    got, goterr = decode_frames_pallas(
+        jnp.asarray(buf), ns, pls, TINY, interpret=True, geometry=(2, 256, True)
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    np.testing.assert_array_equal(np.asarray(goterr), np.asarray(referr))
+
+
+def test_auto_geometry_invariants():
+    """The TPU routing table: measured rung optima, Mosaic's 8-divisible
+    out-block constraint, the scoped-VMEM budget, and the too-wide
+    fallback to the XLA scan."""
+    from x3_tpu.ops.decode_pallas import (
+        _auto_geometry,
+        _pad_words,
+        pallas_decode_fits,
+    )
+    from x3_tpu.ops.encode_kernel import block_buffer_words, frame_geometry
+
+    params = Parameters()
+    _, B, L, WFULL = frame_geometry(params)
+    WIN = block_buffer_words(params)
+    maxadv = (6 + 16 * L + 31) // 32 + 1
+    # Measured optima (v5e, F=6144 — ROADMAP R4-2) are reproduced exactly.
+    assert _auto_geometry(512, B, L, 6144, WIN, maxadv) == (16, 2048, True)
+    assert _auto_geometry(1024, B, L, 6144, WIN, maxadv) == (16, 1024, True)
+    assert _auto_geometry(2048, B, L, 6144, WIN, maxadv) == (24, 1024, True)
+    assert _auto_geometry(4096, B, L, 6144, WIN, maxadv) == (24, 512, True)
+    assert _auto_geometry(WFULL, B, L, 6144, WIN, maxadv) == (24, 512, True)
+    for W in (512, 1024, 2048, 4096, WFULL):
+        for F in (512, 768, 2048, 6144):
+            got = _auto_geometry(W, B, L, F, WIN, maxadv)
+            assert got is not None
+            U, TF, dma = got
+            assert (U * L) % 8 == 0 and dma
+            K = max(2, -(-(64 - 1 + WIN + U * maxadv) // 64))
+            w_pad = W + _pad_words(W, 64, K)
+            assert w_pad * TF * 4 + K * 64 * TF * 4 + U * L * TF * 4 <= 14_500_000
+            assert TF >= 256
+    # Small batches clamp the tile so padding can't dominate.
+    assert _auto_geometry(512, B, L, 512, WIN, maxadv)[1] == 512
+    # Absurdly wide geometry-general buffers stay on the scan.
+    assert _auto_geometry(40_000, B, L, 6144, WIN, maxadv) is None
+    assert not pallas_decode_fits(params, 40_000, None, 6144)
+    assert not pallas_decode_fits(params, 512, None, 256)  # tiny batch
+    assert pallas_decode_fits(params, 512, None, 6144)
+    # Foreign-geometry overrides route by their own L.
+    big = Parameters(block_len=60, blocks_per_frame=5)
+    assert not pallas_decode_fits(big, 512, None, 6144)
+
+
 def test_pallas_rejects_scan_geometry():
     big = Parameters(block_len=60, blocks_per_frame=5)
     import jax.numpy as jnp

@@ -137,6 +137,14 @@ def decode_frames_checked(payload: jax.Array, n_samples: jax.Array, payload_lens
 
     W = payload.shape[1] // 4  # matches _decode_impl's inferred width
     F = payload.shape[0]
+    if _use_pallas_decode(F, W, params, n_blocks):
+        from .decode_pallas import decode_frames_pallas_words
+
+        out, err, words = decode_frames_pallas_words(
+            payload, n_samples, payload_lens, params, n_blocks
+        )
+        crc = crc16_words_jax(words, payload_lens.astype(jnp.int32), W)
+        return out, err, crc.astype(jnp.int32)
     if F > _DECODE_SUBBATCH:
         parts = []
         for b in range(0, F, _DECODE_SUBBATCH):
@@ -163,6 +171,26 @@ def decode_frames_checked(payload: jax.Array, n_samples: jax.Array, payload_lens
 # Wider batches are therefore walked as sub-batches inside ONE jitted
 # program, like encode's _SUBBATCH.
 _DECODE_SUBBATCH = 6144
+
+
+def _use_pallas_decode(F: int, W: int, params: Parameters, n_blocks: int | None) -> bool:
+    """Route eligible decodes to the VMEM-resident Pallas kernel
+    (ops/decode_pallas.py).  Measured on v5e at F=6144 vs the XLA scan,
+    at each rung's measured-optimal (U, TF, dma_words) geometry
+    (decode_pallas._auto_geometry): W=512 31-35 vs 7.8 GB/s, W=1024 26.3
+    vs ~7.7, W=2048 22.6-24.1 vs 7.5, W=4096 10.9-11.3 vs 5.0, full
+    W=5096 9.1 vs 4.8.  Mosaic is TPU-only; small batches would mostly
+    pad the lane tile; wide geometry-general overrides whose tile exceeds
+    scoped VMEM stay on the scan."""
+    import os
+
+    if os.environ.get("X3_PALLAS_DECODE", "1") != "1":
+        return False
+    if jax.default_backend() == "cpu":
+        return False
+    from .decode_pallas import pallas_decode_fits
+
+    return pallas_decode_fits(params, W, n_blocks, F)
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4))
@@ -193,6 +221,11 @@ def decode_frames(payload: jax.Array, n_samples: jax.Array, payload_lens: jax.Ar
     Returns (samples int16 [F, S], err int32 [F] — ERR_* codes, 0 = ok)
     where S = 1 + n_blocks*L when overridden."""
     F = payload.shape[0]
+    W = payload.shape[1] // 4
+    if _use_pallas_decode(F, W, params, n_blocks):
+        from .decode_pallas import decode_frames_pallas
+
+        return decode_frames_pallas(payload, n_samples, payload_lens, params, n_blocks)
     if F > _DECODE_SUBBATCH:
         parts = [
             _decode_impl(

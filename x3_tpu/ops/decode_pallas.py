@@ -12,17 +12,25 @@ kernel and bit-identical by test.
 Structure (TPU grid iterates the last axis innermost, sequentially):
 
   grid = (lane_tiles, steps)
-    words  [W_pad, F] u32   block (W_pad, TF) @ (0, i)  — resident across j
+    words  [W_pad, F] u32   production (dma_words): memory_space=ANY; the
+                            kernel copies its lane tile into a SINGLE-
+                            buffered VMEM scratch with one explicit async
+                            copy at j == 0 — the pallas pipeline would
+                            double-buffer a (W_pad, TF) input block even
+                            with a constant index map, halving the usable
+                            tile (measured: every rung wins with dma_words)
     n, plen8 [1, F] i32     block (1, TF)    @ (0, i)
     out    [steps*U*L, F] i16  block (U*L, TF) @ (j, i) — streamed out by
                                 the pallas pipeline, overlapped with compute
     err/off [1, F] i32      written at the last step
     scratch: off/last/err [TF] i32 — the walk state carried across steps
 
-Lanes are the minor axis throughout, so every per-sample op is a full-width
-VPU op over the lane tile (same layout discipline as ops/pack_pallas.py).
-The raw first sample (sample 0) and the overrun check stay in the XLA
-wrapper.
+Per-rung (U, TF, dma_words) geometry is measured (v5e, F=6144) and pinned
+by tests/test_pallas_decode.py::test_auto_geometry_invariants; see
+_auto_geometry and ROADMAP R4-2.  Lanes are the minor axis throughout, so
+every per-sample op is a full-width VPU op over the lane tile (same layout
+discipline as ops/pack_pallas.py).  The raw first sample (sample 0) and
+the overrun check stay in the XLA wrapper.
 """
 
 from __future__ import annotations
@@ -59,6 +67,54 @@ def lane_tile(w_pad: int) -> int:
     return tf
 
 
+def _fix_ul(u: int, L: int) -> int:
+    """Largest U' <= u with (U'*L) % 8 == 0 (the out block's second-to-last
+    dim must be 8-divisible for Mosaic; measured: U=25/L=20 fails to lower)."""
+    for uu in range(u, 0, -1):
+        if (uu * L) % 8 == 0:
+            return uu
+    return max(1, u)
+
+
+def _auto_geometry(W: int, B: int, L: int, F: int, WIN: int, maxadv: int):
+    """Measured-optimal (U, TF, dma_words) on v5e at F=6144 (ROADMAP R4-2).
+
+    dma_words (one async copy of the lane tile into SINGLE-buffered VMEM
+    scratch instead of the pipeline's double-buffered input block) frees
+    half the lane budget and wins at every rung: W=512 35.1 GB/s vs 24.0
+    without, W=1024 26.3 vs 21.3, W=2048 24.1 vs 11.7, W=4096 11.3 vs the
+    4.4 the double-buffered default manages (the XLA scan does 5.0 there).
+    U (blocks per grid step) saturates at 16 on narrow rungs / 24 wide;
+    TF is the largest lane tile whose scoped VMEM (words + window
+    accumulators + double-buffered out blocks) stays under ~14.5 MB
+    (measured: 13.5 MB compiles, 16.2 MB OOMs the 16 MB scoped limit)."""
+    u = 24 if W >= 2048 else 16
+    u = _fix_ul(min(u, max(1, B)), L)
+    K = max(2, -(-(64 - 1 + WIN + u * maxadv) // 64))
+    w_pad = W + _pad_words(W, 64, K)
+    for tf in (2048, 1024, 512, 256):
+        if F <= tf // 2 and tf > 256:
+            continue  # don't pad tiny batches to a huge tile
+        scoped = w_pad * tf * 4 + K * 64 * tf * 4 + u * L * tf * 2 * 2
+        if scoped <= 14_500_000:
+            return u, tf, True
+    return None  # width too wide for any lane tile — caller stays on the scan
+
+
+def pallas_decode_fits(params: Parameters, W: int, n_blocks: int | None, F: int) -> bool:
+    """True when the TPU kernel covers this decode: unrolled walk (L <= 24),
+    a lane tile that fits scoped VMEM at this width, and a batch big enough
+    that tile padding doesn't dominate.  decode_kernel routes on this."""
+    if n_blocks is None:
+        _, B, L, _ = frame_geometry(params)
+    else:
+        _, B, L, _ = frame_geometry_blocks(params, n_blocks)
+    if L > 24 or F < 512:
+        return False
+    maxadv = (6 + 16 * L + 31) // 32 + 1
+    return _auto_geometry(W, B, L, F, block_buffer_words(params), maxadv) is not None
+
+
 def _pad_words(W: int, G: int, K: int) -> int:
     return K * G + (-(W + K * G)) % G
 
@@ -70,9 +126,27 @@ def decode_frames_pallas(
     params: Parameters,
     n_blocks: int | None = None,
     interpret: bool = False,
+    geometry: tuple[int, int] | None = None,
 ):
     """Decode [F, W*4] zero-padded payload bytes (same contract as
     decode_kernel.decode_frames).  Returns (samples int16 [F, S], err [F])."""
+    out, err, _ = decode_frames_pallas_words(
+        payload, n_samples, payload_lens, params, n_blocks, interpret, geometry
+    )
+    return out, err
+
+
+def decode_frames_pallas_words(
+    payload: jax.Array,
+    n_samples: jax.Array,
+    payload_lens: jax.Array,
+    params: Parameters,
+    n_blocks: int | None = None,
+    interpret: bool = False,
+    geometry: tuple[int, int] | None = None,
+):
+    """decode_frames_pallas plus the big-endian payload words [F, W] u32
+    (the buffer the device CRC pass rides — decode_kernel contract)."""
     if n_blocks is None:
         S, B, L, WFULL = frame_geometry(params)
     else:
@@ -93,30 +167,49 @@ def decode_frames_pallas(
 
     out_t, err, off = _decode_pallas_impl(
         words.T, n_samples.astype(jnp.int32), payload_lens.astype(jnp.int32),
-        params, B, L, W, interpret,
+        params, B, L, W, interpret, geometry,
     )
     out = jnp.concatenate([first.astype(jnp.int16)[:, None], out_t.T], axis=1)[:, :S]
     err = jnp.where(
         err != ERR_OK, err, jnp.where(off > jnp.int32(WFULL * 32), ERR_OVERRUN, ERR_OK)
     )
-    return out, err
+    return out, err, words
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
-def _decode_pallas_impl(words_t, n, plens, params, B, L, W, interpret):
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8))
+def _decode_pallas_impl(words_t, n, plens, params, B, L, W, interpret, geometry=None):
     from jax.experimental import pallas as pl
 
     WIN = block_buffer_words(params)
     nsubs_np, invlen_np = _decode_tables(params)
-    # TPU gather geometry; under interpret (CPU tests) force the TPU config
-    # so the tested kernel is the one that runs on the chip.
-    G, K = 64, max(2, -(-(64 - 1 + WIN + ((6 + 16 * L + 31) // 32 + 1)) // 64))
+    G = 64
     maxadv = (6 + 16 * L + 31) // 32 + 1
-    # Cap U at the default-geometry TPU value: tiny geometries would admit
-    # U=15+, which blows up the traced kernel body (the known XLA wide-chunk
-    # compile explosion — CLAUDE.md) for no amortization benefit here (the
-    # window select reads VMEM, not HBM).
-    U = min(4, max(1, (K * G - G + 1 - WIN) // maxadv))
+    dma_words = False
+    if geometry is not None:
+        # (U, TF[, dma_words]) override for geometry sweeps; K sized to
+        # cover U blocks.  dma_words copies the lane tile's words into a
+        # single-buffered VMEM scratch via one DMA per tile instead of a
+        # pipelined (double-buffered) input block — twice the lane budget.
+        U, TF_override = geometry[0], geometry[1]
+        dma_words = bool(geometry[2]) if len(geometry) > 2 else False
+        K = max(2, -(-(G - 1 + WIN + U * maxadv) // G))
+    elif not interpret:
+        auto = _auto_geometry(W, B, L, words_t.shape[1], WIN, maxadv)
+        if auto is None:
+            raise NotImplementedError(
+                "payload width exceeds the VMEM lane-tile budget; decode via "
+                "the XLA scan (decode_kernel routes there automatically)"
+            )
+        U, TF_override, dma_words = auto
+        K = max(2, -(-(G - 1 + WIN + U * maxadv) // G))
+    else:
+        # Interpret mode (CPU tests) executes each traced op individually —
+        # keep the kernel body small: tiny geometries would admit U=15+,
+        # which blows up the trace (the known XLA wide-chunk compile
+        # explosion — CLAUDE.md) for no amortization benefit here.
+        TF_override = None
+        K = max(2, -(-(G - 1 + WIN + maxadv) // G))
+        U = _fix_ul(min(4, max(1, (K * G - G + 1 - WIN) // maxadv)), L)
     steps = -(-B // U)
     gbits = G.bit_length() - 1
 
@@ -124,7 +217,7 @@ def _decode_pallas_impl(words_t, n, plens, params, B, L, W, interpret):
     pad_w = _pad_words(W, G, K)
     W_pad = W + pad_w
     Wg = W_pad // G
-    TF = lane_tile(W_pad)
+    TF = TF_override or lane_tile(W_pad)
     # Pad lanes to the tile (dummy lanes: n=0 decodes nothing, err ignored).
     F_pad = -(-F // TF) * TF
     if F_pad != F:
@@ -134,9 +227,32 @@ def _decode_pallas_impl(words_t, n, plens, params, B, L, W, interpret):
     words_t = jnp.pad(words_t, ((0, pad_w), (0, 0)))
     UL = U * L
 
-    def kernel(words_ref, n_ref, plen_ref, out_ref, err_ref, offout_ref,
-               off_s, last_s, err_s):
+    def kernel(words_in, n_ref, plen_ref, out_ref, err_ref, offout_ref,
+               off_s, last_s, err_s, *dma_scratch):
         j = pl.program_id(1)
+
+        if dma_words:
+            from jax.experimental.pallas import tpu as pltpu
+
+            words_ref, dma_sem = dma_scratch
+            i = pl.program_id(0)
+
+            @pl.when(j == 0)
+            def _fill():
+                pltpu.make_async_copy(
+                    words_in.at[:, pl.ds(i * TF, TF)], words_ref, dma_sem
+                ).start()
+
+            # Every step waits on the tile's fill exactly once: the DMA
+            # semaphore holds its signal until consumed, so wait at j == 0
+            # only (later steps see the already-resident scratch).
+            @pl.when(j == 0)
+            def _wait():
+                pltpu.make_async_copy(
+                    words_in.at[:, pl.ds(i * TF, TF)], words_ref, dma_sem
+                ).wait()
+        else:
+            words_ref = words_in
 
         @pl.when(j == 0)
         def _init():
@@ -254,11 +370,21 @@ def _decode_pallas_impl(words_t, n, plens, params, B, L, W, interpret):
 
     n2 = n[None, :]
     plens2 = plens[None, :]
+    scratch = [
+        pltpu.VMEM((TF,), jnp.int32),
+        pltpu.VMEM((TF,), jnp.int32),
+        pltpu.VMEM((TF,), jnp.int32),
+    ]
+    if dma_words:
+        words_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        scratch += [pltpu.VMEM((W_pad, TF), jnp.uint32), pltpu.SemaphoreType.DMA(())]
+    else:
+        words_spec = pl.BlockSpec((W_pad, TF), lambda i, j: (0, i))
     out_t, err, off = pl.pallas_call(
         kernel,
         grid=(F_pad // TF, steps),
         in_specs=[
-            pl.BlockSpec((W_pad, TF), lambda i, j: (0, i)),
+            words_spec,
             pl.BlockSpec((1, TF), lambda i, j: (0, i)),
             pl.BlockSpec((1, TF), lambda i, j: (0, i)),
         ],
@@ -272,11 +398,7 @@ def _decode_pallas_impl(words_t, n, plens, params, B, L, W, interpret):
             jax.ShapeDtypeStruct((1, F_pad), jnp.int32),
             jax.ShapeDtypeStruct((1, F_pad), jnp.int32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((TF,), jnp.int32),
-            pltpu.VMEM((TF,), jnp.int32),
-            pltpu.VMEM((TF,), jnp.int32),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(words_t, n2, plens2)
     return out_t[:, :F], err[0, :F], off[0, :F]
