@@ -276,6 +276,43 @@ def _pack_block_buffers(item_val, item_len, W: int, NW: int = 12, use_pallas: bo
     return words, total_bits.astype(jnp.int32), blockfit.astype(jnp.int32)
 
 
+def _use_pallas_pack(W: int, B: int, L: int, P: int, F: int) -> bool:
+    """Opt-in (X3_PALLAS_PACK=1): route the pair pack to the VMEM-resident
+    Pallas walk (ops/pack_walk_pallas.py).  MEASURED NEGATIVE in context on
+    v5e (ROADMAP R4-3) — the XLA front fuses INTO the level-1 pack, so the
+    Pallas boundary forces a [F, B, P] pair materialization the default
+    path never pays, and the walk itself trails the MXU merge at F=768
+    (full encode_frames A/B, fresh process per variant: pi240 -23%,
+    hydrophone -17%, music -52%).  Kept as a tested experiment: the decode
+    kernel's resident-words structure applied to the write side."""
+    import os
+
+    if os.environ.get("X3_PALLAS_PACK", "0") != "1":
+        return False
+    if jax.default_backend() == "cpu":
+        return False
+    from .pack_walk_pallas import pallas_pack_fits
+
+    return pallas_pack_fits(W, B, L, P, F)
+
+
+def _pack_pairs_walk(mval, mlen, W: int, L: int):
+    """Pack pre-merged pairs via the Pallas walk kernel; the tiny [F, B]
+    offset/bookkeeping math stays XLA (same values as _pack_pairs so the
+    escalation contract and stats are engine-invariant)."""
+    from .pack_walk_pallas import pack_frames_walk
+
+    ends = jnp.cumsum(mlen, axis=2)
+    block_bits = ends[:, :, -1]
+    block_end = jnp.cumsum(block_bits, axis=1)
+    block_off = block_end - block_bits
+    total_bits = block_end[:, -1]
+    r2 = block_off & (32 * 8 - 1)
+    blockfit = jnp.max(r2 + block_bits, axis=1)
+    words = pack_frames_walk(mval, mlen, block_off.astype(jnp.int32), W, L)
+    return words, total_bits.astype(jnp.int32), blockfit.astype(jnp.int32)
+
+
 def _pack_pairs(mval, mlen, W: int, NW: int):
     """Pack pre-merged <=32-bit item pairs: mval uint32 / mlen int32
     [F, B, P].  The encode front produces pairs directly (skipping an
@@ -575,7 +612,10 @@ def _encode_frames_body(samples, n_valid, params: Parameters, pack_mode, w_words
         pl = l0 + l1
         mval = jnp.concatenate([p0_val[:, :, None], pv], axis=2)
         mlen = jnp.concatenate([p0_len[:, :, None], pl], axis=2)
-        words, total_bits, blockfit = _pack_pairs(mval, mlen, W, NW)
+        if _use_pallas_pack(W, B, L, mval.shape[2], F):
+            words, total_bits, blockfit = _pack_pairs_walk(mval, mlen, W, L)
+        else:
+            words, total_bits, blockfit = _pack_pairs(mval, mlen, W, NW)
     elif pack_mode in ("segment", "block_pallas"):
         # ---- item stream as [F, B, 2+L]: [first?][hdr][samples] ----
         # Slot 0 carries the frame's raw 16-bit first sample in block 0 only.
