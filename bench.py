@@ -131,10 +131,11 @@ def main():
     # Per-call dispatch on the tunneled TPU costs ~1-2 ms; enough reps
     # amortize it so the number reflects device time, not RPC latency.
     reps = int(os.environ.get("X3_BENCH_REPS", "50"))
-    # Decode's chunked kernel amortizes its fixed per-step cost over wide
-    # batches — its sweet spot (F=2048) is wider than encode's.
-    # Decode's fixed scan-step cost amortizes with width up to F=6144
-    # (7.2 GB/s vs 6.7 at 2048; falls off at 8192 — VMEM/HBM cliff).
+    # Decode batches wider than encode: the Pallas kernel tiles lanes so
+    # there is no wide-batch cliff, and F=6144 sits near the per-class
+    # optimum (measured round 4: pi240 +12% at F>=12288 but hydrophone,
+    # the headline class, -7% there; the XLA-scan fallback's F=8192 spill
+    # is handled by in-jit sub-batching either way).
     dec_batch = int(os.environ.get("X3_BENCH_DECODE_BATCH", "6144"))
 
     def bench_class(wav: np.ndarray):
