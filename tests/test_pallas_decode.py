@@ -108,6 +108,38 @@ def test_pallas_dma_words_geometry(rng):
     np.testing.assert_array_equal(np.asarray(goterr), np.asarray(referr))
 
 
+def test_pallas_select_structures(rng):
+    """The window-select structure variants (tlP two-level factored one-hot,
+    funnel compare-halving — sweepable via geometry[3]) must be bit-identical
+    to the default linear one-hot sweep.  W=256 gives the tiny geometry
+    enough slabs (Wg=6, qmax=4) for multi-stage tl/funnel paths."""
+    spf = TINY.samples_per_frame
+    wav = np.concatenate(
+        [make_mixed(rng, spf), rng.integers(-32768, 32768, spf)]
+    ).astype(np.int16)
+    payloads, counts = _frames_of(oracle.encode(wav, TINY))
+    import jax.numpy as jnp
+
+    from x3_tpu.ops.decode_pallas import decode_frames_pallas
+
+    W = 256
+    buf = np.zeros((len(payloads), W * 4), np.uint8)
+    for i, p in enumerate(payloads):
+        buf[i, : len(p)] = np.frombuffer(p, np.uint8)
+    ns = jnp.asarray(counts, jnp.int32)
+    pls = jnp.asarray([len(p) for p in payloads], jnp.int32)
+    ref, referr = decode_frames_pallas(
+        jnp.asarray(buf), ns, pls, TINY, interpret=True, geometry=(2, 256, False)
+    )
+    for sel in ("tl2", "tl4", "funnel"):
+        got, goterr = decode_frames_pallas(
+            jnp.asarray(buf), ns, pls, TINY,
+            interpret=True, geometry=(2, 256, False, sel),
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref), err_msg=sel)
+        np.testing.assert_array_equal(np.asarray(goterr), np.asarray(referr), err_msg=sel)
+
+
 def test_auto_geometry_invariants():
     """The TPU routing table: measured rung optima, Mosaic's 8-divisible
     out-block constraint, the scoped-VMEM budget, and the too-wide

@@ -67,6 +67,27 @@ def main() -> int:
         "hydrophone": [None, (16, 1024, True), (24, 1024, True), (24, 512, True)],
         "music": [None, (16, 512, True), (24, 512, True), (24, 256, True)],
     }
+    if os.environ.get("SWEEP_SELECT"):
+        # Window-select structure A/B at the pinned (U, TF, dma) per rung:
+        # 4th geometry element picks linear / tlP (two-level factored
+        # one-hot) / funnel (compare-halving).  The select sweep dominates
+        # the kernel at wide W (many slabs), so the wide rungs are where a
+        # structure change could pay.
+        CANDIDATES = {
+            "pi240": [None] + [(16, 2048, True, s) for s in ("tl4", "funnel")],
+            "hydrophone": [None] + [(24, 1024, True, s) for s in ("tl4", "tl8", "funnel")],
+            "music": [None]
+            + [(24, 512, True, s) for s in ("tl4", "tl8", "tl16", "funnel")],
+        }
+    if os.environ.get("SWEEP_GEOS"):
+        # Ad-hoc candidates: SWEEP_GEOS is a Python literal dict
+        # {class: [geo, ...]} (geo None or a (U, TF, dma[, select]) tuple).
+        import ast
+
+        CANDIDATES = ast.literal_eval(os.environ["SWEEP_GEOS"])
+    # SWEEP_MINW=<words> floors the decode width so narrow-payload classes
+    # can exercise the wider production rungs (payloads are zero-padded).
+    min_w = int(os.environ.get("SWEEP_MINW", "0"))
 
     mb = F * spf * 2 / 1e6
     for cname, geos in CANDIDATES.items():
@@ -74,7 +95,8 @@ def main() -> int:
         frames = jnp.asarray(wav.reshape(-1, spf)[:F])
         nv = jnp.full((F,), spf, jnp.int32)
         pb, plens = make_payload(frames, nv)
-        dec_w = next(r for r in width_rungs(params) if int(np.asarray(plens).max()) <= r * 4)
+        need = max(int(np.asarray(plens).max()), min_w * 4)
+        dec_w = next(r for r in width_rungs(params) if need <= r * 4)
         pb = jax.jit(lambda p: p[:, : dec_w * 4])(pb)
         plens = plens.astype(jnp.int32)
         jax.block_until_ready(pb)

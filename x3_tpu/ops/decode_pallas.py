@@ -185,13 +185,20 @@ def _decode_pallas_impl(words_t, n, plens, params, B, L, W, interpret, geometry=
     G = 64
     maxadv = (6 + 16 * L + 31) // 32 + 1
     dma_words = False
+    select = "linear"
     if geometry is not None:
-        # (U, TF[, dma_words]) override for geometry sweeps; K sized to
-        # cover U blocks.  dma_words copies the lane tile's words into a
-        # single-buffered VMEM scratch via one DMA per tile instead of a
-        # pipelined (double-buffered) input block — twice the lane budget.
+        # (U, TF[, dma_words[, select]]) override for geometry sweeps; K
+        # sized to cover U blocks.  dma_words copies the lane tile's words
+        # into a single-buffered VMEM scratch via one DMA per tile instead
+        # of a pipelined (double-buffered) input block — twice the lane
+        # budget.  select picks the window-select structure: "linear"
+        # (one-hot sweep over every slab start), "tlP" (two-level factored
+        # one-hot: super-slab of P+K-1 slabs then K within), "funnel"
+        # (compare-halving select, fewest slab ops, biggest intermediates).
         U, TF_override = geometry[0], geometry[1]
         dma_words = bool(geometry[2]) if len(geometry) > 2 else False
+        if len(geometry) > 3:
+            select = geometry[3]
         K = max(2, -(-(G - 1 + WIN + U * maxadv) // G))
     elif not interpret:
         auto = _auto_geometry(W, B, L, words_t.shape[1], WIN, maxadv)
@@ -267,18 +274,74 @@ def _decode_pallas_impl(words_t, n, plens, params, B, L, W, interpret, geometry=
         err = err_s[:]
 
         # ---- shared window for U blocks: K G-word slices selected from the
-        # resident words by a shifted one-hot select-accumulate (the pallas
-        # replacement for the XLA scan's dependent HBM gather) ----
+        # resident words (the pallas replacement for the XLA scan's
+        # dependent HBM gather).  Three structures, measured per rung:
+        # "linear" one-hot sweeps every slab start ((qmax+1)*K slab
+        # selects); "tlP" factors q = qh*P + ql (a clamped super-slab of
+        # P+K-1 slabs by one-hot over ~qmax/P starts, then K slabs within
+        # — ~qmax/P*(P+K-1) + P*K selects); "funnel" halves the start range
+        # per stage (~qmax + K*log2(qmax) selects, but the first stages'
+        # intermediates are ~qmax/2 slabs of vregs).
         sw0 = jnp.clip(off >> 5, 0, W - 1)
-        q = jnp.clip(sw0 >> gbits, 0, Wg - K)
-        acc = [jnp.zeros((G, TF), jnp.uint32) for _ in range(K)]
-        for jj in range(Wg - K + 1):
-            m = (q == jj)[None, :]
-            for k in range(K):
-                slab = words_ref[(jj + k) * G : (jj + k + 1) * G, :]
-                acc[k] = jnp.where(m, slab, acc[k])
-        rawl = [acc[k][g, :] for k in range(K) for g in range(G)]
+        qmax = Wg - K
+        q = jnp.clip(sw0 >> gbits, 0, qmax)
         base_word = q << gbits
+        if select == "linear":
+            acc = [jnp.zeros((G, TF), jnp.uint32) for _ in range(K)]
+            for jj in range(qmax + 1):
+                m = (q == jj)[None, :]
+                for k in range(K):
+                    slab = words_ref[(jj + k) * G : (jj + k + 1) * G, :]
+                    acc[k] = jnp.where(m, slab, acc[k])
+            rawl = [acc[k][g, :] for k in range(K) for g in range(G)]
+        elif select.startswith("tl"):
+            P = int(select[2:])
+            SS = P + K - 1  # super-slab: any K-window with start in [qh*P, qh*P+P)
+            if SS > Wg:
+                raise ValueError(f"tl{P} needs P+K-1 <= Wg slabs (K={K}, Wg={Wg})")
+            nh = qmax // P + 1
+            # Clamp the super start so the block never reads past Wg; the
+            # residual ql stays in [0, P) because q <= qmax = Wg - K.
+            qh = q // P
+            ss_start = jnp.minimum(qh * P, Wg - SS)
+            sup = jnp.zeros((SS * G, TF), jnp.uint32)
+            for jj in range(nh):
+                st = min(jj * P, Wg - SS)
+                m = (qh == jj)[None, :]
+                sup = jnp.where(m, words_ref[st * G : (st + SS) * G, :], sup)
+            ql = q - ss_start
+            acc = [jnp.zeros((G, TF), jnp.uint32) for _ in range(K)]
+            for jj in range(P):
+                m = (ql == jj)[None, :]
+                for k in range(K):
+                    acc[k] = jnp.where(m, sup[(jj + k) * G : (jj + k + 1) * G, :], acc[k])
+            rawl = [acc[k][g, :] for k in range(K) for g in range(G)]
+        elif select == "funnel":
+            qr = q
+            M = qmax
+            s0 = (M + 1) // 2
+            n0 = M // 2
+            if M > 0:
+                p0 = (qr >= s0)[None, :]
+                cand = jnp.where(
+                    p0,
+                    words_ref[s0 * G : (s0 + n0 + K) * G, :],
+                    words_ref[: (n0 + K) * G, :],
+                )
+                qr = qr - jnp.where(qr >= s0, s0, 0)
+                M = n0
+            else:
+                cand = words_ref[: K * G, :]
+            while M > 0:
+                s = (M + 1) // 2
+                newM = M // 2
+                p = (qr >= s)[None, :]
+                cand = jnp.where(p, cand[s * G : (s + newM + K) * G, :], cand[: (newM + K) * G, :])
+                qr = qr - jnp.where(qr >= s, s, 0)
+                M = newM
+            rawl = [cand[r, :] for r in range(K * G)]
+        else:
+            raise ValueError(f"unknown select mode {select!r}")
 
         nsubs_f2, nsubs_f3 = int(nsubs_np[2]), int(nsubs_np[3])
         invlen_1, invlen_2, invlen_3 = (
