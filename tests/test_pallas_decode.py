@@ -156,17 +156,18 @@ def test_auto_geometry_invariants():
     WIN = block_buffer_words(params)
     maxadv = (6 + 16 * L + 31) // 32 + 1
     # Measured optima (v5e, F=6144 — ROADMAP R4-2) are reproduced exactly.
-    assert _auto_geometry(512, B, L, 6144, WIN, maxadv) == (16, 2048, True)
-    assert _auto_geometry(1024, B, L, 6144, WIN, maxadv) == (16, 1024, True)
-    assert _auto_geometry(2048, B, L, 6144, WIN, maxadv) == (24, 1024, True)
-    assert _auto_geometry(4096, B, L, 6144, WIN, maxadv) == (24, 512, True)
-    assert _auto_geometry(WFULL, B, L, 6144, WIN, maxadv) == (24, 512, True)
+    assert _auto_geometry(512, B, L, 6144, WIN, maxadv) == (16, 2048, True, "linear")
+    assert _auto_geometry(1024, B, L, 6144, WIN, maxadv) == (16, 1024, True, "linear")
+    assert _auto_geometry(2048, B, L, 6144, WIN, maxadv) == (24, 1024, True, "tl4")
+    assert _auto_geometry(4096, B, L, 6144, WIN, maxadv) == (24, 512, True, "tl4")
+    assert _auto_geometry(WFULL, B, L, 6144, WIN, maxadv) == (24, 512, True, "tl4")
     for W in (512, 1024, 2048, 4096, WFULL):
         for F in (512, 768, 2048, 6144):
             got = _auto_geometry(W, B, L, F, WIN, maxadv)
             assert got is not None
-            U, TF, dma = got
+            U, TF, dma, sel = got
             assert (U * L) % 8 == 0 and dma
+            assert sel in ("linear", "tl4")
             K = max(2, -(-(64 - 1 + WIN + U * maxadv) // 64))
             w_pad = W + _pad_words(W, 64, K)
             assert w_pad * TF * 4 + K * 64 * TF * 4 + U * L * TF * 4 <= 14_500_000

@@ -77,7 +77,8 @@ def _fix_ul(u: int, L: int) -> int:
 
 
 def _auto_geometry(W: int, B: int, L: int, F: int, WIN: int, maxadv: int):
-    """Measured-optimal (U, TF, dma_words) on v5e at F=6144 (ROADMAP R4-2).
+    """Measured-optimal (U, TF, dma_words, select) on v5e at F=6144
+    (ROADMAP R4-2).
 
     dma_words (one async copy of the lane tile into SINGLE-buffered VMEM
     scratch instead of the pipeline's double-buffered input block) frees
@@ -87,17 +88,21 @@ def _auto_geometry(W: int, B: int, L: int, F: int, WIN: int, maxadv: int):
     U (blocks per grid step) saturates at 16 on narrow rungs / 24 wide;
     TF is the largest lane tile whose scoped VMEM (words + window
     accumulators + double-buffered out blocks) stays under ~14.5 MB
-    (measured: 13.5 MB compiles, 16.2 MB OOMs the 16 MB scoped limit)."""
+    (measured: 13.5 MB compiles, 16.2 MB OOMs the 16 MB scoped limit).
+    select is the window-select structure (see _decode_pallas_impl):
+    the linear one-hot sweep wins at narrow W; tlP (two-level factored
+    one-hot) wins where the sweep covers many slab starts (wide W)."""
     u = 24 if W >= 2048 else 16
     u = _fix_ul(min(u, max(1, B)), L)
     K = max(2, -(-(64 - 1 + WIN + u * maxadv) // 64))
     w_pad = W + _pad_words(W, 64, K)
+    select = "linear" if W < 2048 else "tl4"
     for tf in (2048, 1024, 512, 256):
         if F <= tf // 2 and tf > 256:
             continue  # don't pad tiny batches to a huge tile
         scoped = w_pad * tf * 4 + K * 64 * tf * 4 + u * L * tf * 2 * 2
         if scoped <= 14_500_000:
-            return u, tf, True
+            return u, tf, True, select
     return None  # width too wide for any lane tile — caller stays on the scan
 
 
@@ -207,7 +212,7 @@ def _decode_pallas_impl(words_t, n, plens, params, B, L, W, interpret, geometry=
                 "payload width exceeds the VMEM lane-tile budget; decode via "
                 "the XLA scan (decode_kernel routes there automatically)"
             )
-        U, TF_override, dma_words = auto
+        U, TF_override, dma_words, select = auto
         K = max(2, -(-(G - 1 + WIN + U * maxadv) // G))
     else:
         # Interpret mode (CPU tests) executes each traced op individually —
@@ -439,7 +444,7 @@ def _decode_pallas_impl(words_t, n, plens, params, B, L, W, interpret, geometry=
         pltpu.VMEM((TF,), jnp.int32),
     ]
     if dma_words:
-        words_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        words_spec = pl.BlockSpec(memory_space=pl.ANY)
         scratch += [pltpu.VMEM((W_pad, TF), jnp.uint32), pltpu.SemaphoreType.DMA(())]
     else:
         words_spec = pl.BlockSpec((W_pad, TF), lambda i, j: (0, i))
