@@ -160,7 +160,10 @@ def test_auto_geometry_invariants():
     assert _auto_geometry(1024, B, L, 6144, WIN, maxadv) == (16, 1024, True, "linear")
     assert _auto_geometry(2048, B, L, 6144, WIN, maxadv) == (24, 1024, True, "tl4")
     assert _auto_geometry(4096, B, L, 6144, WIN, maxadv) == (24, 512, True, "tl4")
-    assert _auto_geometry(WFULL, B, L, 6144, WIN, maxadv) == (24, 512, True, "tl4")
+    # Full width stays on the linear sweep: tl4 at W=5096 crashes the TPU
+    # compiler (tpu_compile_helper exit 1 — twice, while 2048/4096 compile
+    # and win); linear is the measured known-compiling config there.
+    assert _auto_geometry(WFULL, B, L, 6144, WIN, maxadv) == (24, 512, True, "linear")
     for W in (512, 1024, 2048, 4096, WFULL):
         for F in (512, 768, 2048, 6144):
             got = _auto_geometry(W, B, L, F, WIN, maxadv)

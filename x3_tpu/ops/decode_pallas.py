@@ -96,7 +96,12 @@ def _auto_geometry(W: int, B: int, L: int, F: int, WIN: int, maxadv: int):
     u = _fix_ul(min(u, max(1, B)), L)
     K = max(2, -(-(64 - 1 + WIN + u * maxadv) // 64))
     w_pad = W + _pad_words(W, 64, K)
-    select = "linear" if W < 2048 else "tl4"
+    # tl4 only on the measured-safe band: at W=5096 (full rung) the tl4
+    # kernel CRASHES the TPU compiler (tpu_compile_helper exit 1, twice,
+    # while W=2048/4096 compile and win) — wider-than-4096 widths,
+    # including geometry-general escalated buffers, stay on the linear
+    # sweep (measured 9.1 GB/s at the full rung, known-compiling).
+    select = "tl4" if 2048 <= W <= 4096 else "linear"
     for tf in (2048, 1024, 512, 256):
         if F <= tf // 2 and tf > 256:
             continue  # don't pad tiny batches to a huge tile
