@@ -105,3 +105,41 @@ def test_pack_geometry_invariants():
     assert _pack_geometry(40_000, B, L, P, 768) is None
     assert not pallas_pack_fits(40_000, B, L, P, 768)
     assert pallas_pack_fits(512, B, L, P, 768)
+
+
+def test_pack_walk_full_literal_block_at_word_tail():
+    """A literal-heavy block (326 bits: 6-bit header + 20x16-bit samples)
+    starting at in-word offset >= 27 spans 12 buffer words; the production
+    NB must cover it (round-5 fix: the old floor-divided NB=11 silently
+    dropped such a block's last word)."""
+    import jax.numpy as jnp
+
+    from x3_tpu.ops.encode_kernel import _pack_pairs
+    from x3_tpu.ops.pack_walk_pallas import _pack_geometry, pack_frames_walk
+
+    F, B, P, L, W = 2, 2, 11, 20, 32
+    # Production NB for L=20 must span a 326-bit block from offset 31.
+    U, TF, K, NB = 2, 256, 3, _pack_geometry(2048, 500, L, P, 768)[3]
+    assert NB * 32 - 31 >= 6 + 16 * L, "NB must cover a full literal block"
+
+    mval = np.zeros((F, B, P), np.uint32)
+    mlen = np.zeros((F, B, P), np.int32)
+    # Block 0: 27 bits total -> block 1 starts at in-word offset 27.
+    mlen[:, 0, 0] = 27
+    mval[:, 0, 0] = 0x501_FACE
+    # Block 1: literal block shape — 6-bit header pair + ten 32-bit pairs.
+    mlen[:, 1, 0] = 6
+    mval[:, 1, 0] = 0x2F
+    mlen[:, 1, 1:] = 32
+    mval[:, 1, 1:] = np.arange(1, 11, dtype=np.uint32)[None, :] * 0x0F0F_0F0F
+    ends = np.cumsum(mlen, axis=2)
+    bb = ends[:, :, -1]
+    be = np.cumsum(bb, axis=1)
+    boff = (be - bb).astype(np.int32)
+
+    ref_w, _, _ = _pack_pairs(jnp.asarray(mval), jnp.asarray(mlen), W, 12)
+    got = pack_frames_walk(
+        jnp.asarray(mval), jnp.asarray(mlen), jnp.asarray(boff), W, L, True,
+        (U, TF, K, NB),
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref_w))

@@ -50,7 +50,13 @@ def _pack_geometry(W: int, B: int, L: int, P: int, F: int):
     words (single-buffered) + double-buffered pair stream (val+len) +
     block-offset rows + the K*G window accumulators."""
     G = 64
-    NB = (16 + 6 + 16 * L + 31) // 32
+    # NB must span the worst block from its worst in-word start offset:
+    # block 0 always starts at offset 0 with <= 16+6+16L bits; any other
+    # block starts at r <= 31 with <= 6+16L bits.  The old floor-divided
+    # (16+6+16L+31)//32 = 11 at L=20 dropped the 12th word of a literal
+    # block (326 bits) starting at r >= 27 (round-5 fix, tested by
+    # test_pack_walk_full_literal_block_at_word_tail).
+    NB = max(-(-(16 + 6 + 16 * L) // 32), -(-(31 + 6 + 16 * L) // 32))
     maxadv = NB + 1
     for u in (24, 16, 8):
         if (u * P) % 8 or u % 8:
@@ -228,7 +234,7 @@ def pack_frames_walk(mval, mlen, block_off, W: int, L: int, interpret: bool = Fa
             pl.BlockSpec((U * P, TF), lambda i, j: (j, i)),
             pl.BlockSpec((U, TF), lambda i, j: (j, i)),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((W_pad, F_pad), jnp.uint32),
         scratch_shapes=[
             pltpu.VMEM((W_pad, TF), jnp.uint32),
