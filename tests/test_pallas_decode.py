@@ -131,7 +131,7 @@ def test_pallas_select_structures(rng):
     ref, referr = decode_frames_pallas(
         jnp.asarray(buf), ns, pls, TINY, interpret=True, geometry=(2, 256, False)
     )
-    for sel in ("tl2", "tl4", "funnel"):
+    for sel in ("tl2", "tl4", "funnel", "dyn"):
         got, goterr = decode_frames_pallas(
             jnp.asarray(buf), ns, pls, TINY,
             interpret=True, geometry=(2, 256, False, sel),
@@ -201,3 +201,36 @@ def test_pallas_rejects_scan_geometry():
             big,
             interpret=True,
         )
+
+
+def test_foreign_device_kind_gets_conservative_geometry(monkeypatch):
+    """_auto_geometry's pins are v5e measurements; a foreign TPU kind must
+    fall back to the conservative geometry (U=16, linear select) with a
+    one-time warning instead of silently running mis-tuned (VERDICT r4
+    weak 3)."""
+    import warnings
+
+    from x3_tpu.ops import decode_pallas as dp
+    from x3_tpu.ops.encode_kernel import block_buffer_words, frame_geometry
+
+    params = Parameters()
+    _, B, L, _ = frame_geometry(params)
+    WIN = block_buffer_words(params)
+    maxadv = (6 + 16 * L + 31) // 32 + 1
+
+    monkeypatch.setenv("X3_DEVICE_KIND_OVERRIDE", "TPU v6 lite")
+    monkeypatch.setattr(dp, "_warned_foreign_kind", False)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        for W in (512, 2048, 4096):
+            got = dp._auto_geometry(W, B, L, 6144, WIN, maxadv)
+            assert got is not None
+            U, _, dma, sel = got
+            assert U == 16 and dma and sel == "linear"
+    assert any("pallas_decode_sweep" in str(w.message) for w in rec)
+    # The warning fires once, not per call.
+    assert sum("pallas_decode_sweep" in str(w.message) for w in rec) == 1
+
+    # Back on the tuned kind the table is restored.
+    monkeypatch.setenv("X3_DEVICE_KIND_OVERRIDE", "TPU v5 lite")
+    assert dp._auto_geometry(4096, B, L, 6144, WIN, maxadv) == (24, 512, True, "tl4")

@@ -67,6 +67,50 @@ def lane_tile(w_pad: int) -> int:
     return tf
 
 
+_TUNED_KINDS = ("v5 lite", "v5e")
+_warned_foreign_kind = False
+
+
+def device_kind() -> str:
+    """device_kind of the default device (env-overridable for tests:
+    X3_DEVICE_KIND_OVERRIDE fakes a foreign chip without hardware)."""
+    import os
+
+    kind = os.environ.get("X3_DEVICE_KIND_OVERRIDE")
+    if kind is not None:
+        return kind
+    try:
+        d = jax.devices()[0]
+        # The table only matters on real TPUs; CPU (tests, interpret mode)
+        # exercises the table itself and must see the pinned values.
+        return d.device_kind if d.platform == "tpu" else "TPU v5 lite"
+    except Exception:  # noqa: BLE001 - backend discovery varies by platform
+        return "unknown"
+
+
+def geometry_is_tuned() -> bool:
+    """True when the _auto_geometry table's measurements apply: it was swept
+    on a v5e ('TPU v5 lite').  On any other TPU kind the U/TF/select pins
+    are foreign — the routing falls back to a conservative geometry (linear
+    select, U=16) and warns once, instead of silently running mis-tuned
+    (or hitting the tl4 band's compile margins on an unverified toolchain).
+    Re-tune with tools/pallas_decode_sweep.py and extend _TUNED_KINDS."""
+    global _warned_foreign_kind
+    kind = device_kind().lower()
+    tuned = any(t in kind for t in _TUNED_KINDS)
+    if not tuned and not _warned_foreign_kind:
+        import warnings
+
+        warnings.warn(
+            f"x3_tpu pallas decode: device kind {kind!r} is not in the "
+            "measured-geometry table (v5e); using a conservative geometry. "
+            "Run tools/pallas_decode_sweep.py to re-tune for this chip.",
+            stacklevel=2,
+        )
+        _warned_foreign_kind = True
+    return tuned
+
+
 def _fix_ul(u: int, L: int) -> int:
     """Largest U' <= u with (U'*L) % 8 == 0 (the out block's second-to-last
     dim must be 8-divisible for Mosaic; measured: U=25/L=20 fails to lower)."""
@@ -92,16 +136,21 @@ def _auto_geometry(W: int, B: int, L: int, F: int, WIN: int, maxadv: int):
     select is the window-select structure (see _decode_pallas_impl):
     the linear one-hot sweep wins at narrow W; tlP (two-level factored
     one-hot) wins where the sweep covers many slab starts (wide W)."""
-    u = 24 if W >= 2048 else 16
+    tuned = geometry_is_tuned()
+    u = 24 if (tuned and W >= 2048) else 16
     u = _fix_ul(min(u, max(1, B)), L)
     K = max(2, -(-(64 - 1 + WIN + u * maxadv) // 64))
     w_pad = W + _pad_words(W, 64, K)
-    # tl4 only on the measured-safe band: at W=5096 (full rung) the tl4
-    # kernel CRASHES the TPU compiler (tpu_compile_helper exit 1, twice,
-    # while W=2048/4096 compile and win) — wider-than-4096 widths,
+    # tl4 only on the compile-VERIFIED rungs: at W=5096 (full rung) the
+    # tl4 kernel CRASHES the TPU compiler (tpu_compile_helper exit 1,
+    # twice, while W=2048/4096 compile and win) — wider-than-4096 widths,
     # including geometry-general escalated buffers, stay on the linear
-    # sweep (measured 9.1 GB/s at the full rung, known-compiling).
-    select = "tl4" if 2048 <= W <= 4096 else "linear"
+    # sweep (measured 9.1 GB/s at the full rung, known-compiling).  The
+    # pin is an exact rung set, not a band: a non-rung width inside
+    # (2048, 4096) would take a compile-unverified tl4 path — the same
+    # failure class W=5096 hit (advisor r4).  All production widths come
+    # from width_rungs/decode_geometry so non-rung widths are foreign.
+    select = "tl4" if (tuned and W in (2048, 4096)) else "linear"
     for tf in (2048, 1024, 512, 256):
         if F <= tf // 2 and tf > 256:
             continue  # don't pad tiny batches to a huge tile
@@ -204,7 +253,9 @@ def _decode_pallas_impl(words_t, n, plens, params, B, L, W, interpret, geometry=
         # budget.  select picks the window-select structure: "linear"
         # (one-hot sweep over every slab start), "tlP" (two-level factored
         # one-hot: super-slab of P+K-1 slabs then K within), "funnel"
-        # (compare-halving select, fewest slab ops, biggest intermediates).
+        # (compare-halving select, fewest slab ops, biggest intermediates),
+        # "dyn" (fori_loop over the traced cross-lane [min(q), max(q)]
+        # range with dynamic sublane slices — pays for actual spread).
         U, TF_override = geometry[0], geometry[1]
         dma_words = bool(geometry[2]) if len(geometry) > 2 else False
         if len(geometry) > 3:
@@ -325,6 +376,31 @@ def _decode_pallas_impl(words_t, n, plens, params, B, L, W, interpret, geometry=
                 m = (ql == jj)[None, :]
                 for k in range(K):
                     acc[k] = jnp.where(m, sup[(jj + k) * G : (jj + k + 1) * G, :], acc[k])
+            rawl = [acc[k][g, :] for k in range(K) for g in range(G)]
+        elif select == "dyn":
+            # Bounded dynamic sweep: only slab starts in the TRACED
+            # cross-lane [min(q), max(q)] range are visited (fori_loop +
+            # dynamic sublane slices).  Decode offsets are monotone and
+            # same-batch lanes compress alike, so the per-step spread is a
+            # few slabs — the sweep pays for actual spread instead of the
+            # full width (the wide-W select was R4-2's dominant remaining
+            # term); worst case degrades to the linear sweep's positions.
+            qmin = jnp.min(q)
+            qmax2 = jnp.max(q)
+
+            def sel_body(jj, accs):
+                m = (q == jj)[None, :]
+                return tuple(
+                    jnp.where(m, words_ref[pl.ds((jj + k) * G, G), :], accs[k])
+                    for k in range(K)
+                )
+
+            acc = jax.lax.fori_loop(
+                qmin,
+                qmax2 + 1,
+                sel_body,
+                tuple(jnp.zeros((G, TF), jnp.uint32) for _ in range(K)),
+            )
             rawl = [acc[k][g, :] for k in range(K) for g in range(G)]
         elif select == "funnel":
             qr = q
