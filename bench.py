@@ -69,12 +69,21 @@ def make_class_corpus(name: str, n_frames: int, spf: int, seed: int = 7) -> np.n
     raise ValueError(name)
 
 
-def timed(fn, args, reps: int) -> float:
+def timed(fn, args, reps: int, passes: int = 3) -> float:
+    """Best-of-N rep-amortized timing: min over `passes` independent
+    `reps`-rep averages.  A single pass is weather on this host — its
+    hypervisor steal phases inflate one-shot averages by up to ±2x
+    (BENCH_r04 device encode read 13% under the builder's session sweeps
+    for unchanged kernels; VERDICT r4 weak 2) — while the min of >= 3
+    back-to-back passes tracks the builder's A/B methodology."""
     int(fn(*args))  # compile + warm
-    t0 = time.perf_counter()
-    outs = [fn(*args) for _ in range(reps)]
-    int(outs[-1])
-    return (time.perf_counter() - t0) / reps
+    best = float("inf")
+    for _ in range(passes):
+        t0 = time.perf_counter()
+        outs = [fn(*args) for _ in range(reps)]
+        int(outs[-1])
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return best
 
 
 def wait_for_backend(jax, jnp, deadline_s: float) -> None:
@@ -138,6 +147,14 @@ def main():
     # is handled by in-jit sub-batching either way).
     dec_batch = int(os.environ.get("X3_BENCH_DECODE_BATCH", "6144"))
 
+    @jax.jit
+    def make_payload_fn(s, n):
+        o = encode_frames(s, n, params)
+        w = o["payload_words"]
+        shifts = jnp.asarray([24, 16, 8, 0], dtype=jnp.uint32)
+        pb = ((w[:, :, None] >> shifts[None, None, :]) & 0xFF).astype(jnp.uint8)
+        return pb.reshape(w.shape[0], -1), o["nbytes"]  # nbytes kept for debugging
+
     def bench_class(wav: np.ndarray):
         """Device encode + decode MB/s for one corpus at its adaptive
         rungs (the specialization models/encoder.py steady-states on)."""
@@ -166,16 +183,7 @@ def main():
         #     tunnel's slow D2H path never enters the measurement) ---
         dec_frames_in = jax.device_put(frames[:dec_batch])
         dec_nvalid = jax.device_put(n_valid[:dec_batch])
-
-        @jax.jit
-        def make_payload(s, n):
-            o = encode_frames(s, n, params)
-            w = o["payload_words"]
-            shifts = jnp.asarray([24, 16, 8, 0], dtype=jnp.uint32)
-            pb = ((w[:, :, None] >> shifts[None, None, :]) & 0xFF).astype(jnp.uint8)
-            return pb.reshape(w.shape[0], -1), o["nbytes"]  # nbytes kept for debugging
-
-        dev_payload, dev_plens = make_payload(dec_frames_in, dec_nvalid)
+        dev_payload, dev_plens = make_payload_fn(dec_frames_in, dec_nvalid)
         # Decode at the compact width rung the file pipeline would pick
         # (lens are known before decode; decode_frames infers W from the
         # buffer).
@@ -212,6 +220,41 @@ def main():
             "compressed_mb": round(comp_mb, 2),
         }
 
+    def decode_parity_check() -> bool:
+        """On-chip Pallas/scan decode parity on a mutated batch: the routed
+        path (Pallas on TPU) and the XLA scan must agree on per-frame error
+        codes AND samples (including garbage lanes) — the
+        tools/tpu_decode_parity.py rotation folded into every driver run
+        (VERDICT r4 item 4).  On CPU both sides route to the scan and the
+        check degenerates to self-consistency (still reported)."""
+        from x3_tpu.ops.decode_kernel import _decode_impl
+
+        Fp = 768
+        wavp = make_class_corpus("hydrophone", Fp, spf)
+        frames = jax.device_put(wavp.reshape(-1, spf)[:Fp])
+        nv = jax.device_put(np.full((Fp,), spf, np.int32))
+        pb_full, nbytes = make_payload_fn(frames, nv)
+        buf = np.asarray(pb_full).copy()
+        plens = np.asarray(nbytes, np.int32).copy()
+        for i in range(Fp):
+            ln, m = int(plens[i]), i % 6
+            if m == 0:
+                buf[i, 2] ^= 0xFF
+            elif m == 1:
+                buf[i, ln // 2] ^= 0x81
+            elif m == 2:
+                buf[i, ln - 1] ^= 0x0F
+            elif m == 3:
+                plens[i] = max(2, ln // 2)
+        Wp = next(r for r in width_rungs(params) if int(plens.max()) <= r * 4)
+        pb = jax.device_put(buf[:, : Wp * 4])
+        pls = jax.device_put(plens)
+        got_o, got_e = decode_frames(pb, nv, pls, params)
+        ref_o, ref_e, _ = _decode_impl(pb, nv, pls, params, None)
+        ok = bool(jnp.all(got_e == ref_e) & jnp.all(got_o == ref_o))
+        # The rotation must actually produce error lanes, or the check is vacuous.
+        return ok and int(np.asarray(ref_e != 0).sum()) > 0
+
     n_corpus_frames = max(batch_frames, dec_batch)
     wav = make_class_corpus("hydrophone", n_corpus_frames, spf)
     in_mb = batch_frames * spf * 2 / 1e6
@@ -223,6 +266,8 @@ def main():
     for cname in ("hydrophone", "music", "pi240"):
         cwav = wav if cname == "hydrophone" else make_class_corpus(cname, n_corpus_frames, spf)
         classes[cname] = bench_class(cwav)
+
+    decode_parity_ok = decode_parity_check()
 
     hydro = classes["hydrophone"]
     dev_encode_mbs = hydro["encode_mbs"]
@@ -303,6 +348,7 @@ def main():
         "compression_ratio": round(ratio, 2),
         "bit_exact": bool(exact),
         "decode_exact": decode_exact,
+        "decode_parity_ok": bool(decode_parity_ok),
         "batch_frames": batch_frames,
         "encode_width_rung": w_rung,
         "encode_block_width_rung": nw_rung,
