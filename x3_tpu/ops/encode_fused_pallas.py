@@ -1,0 +1,436 @@
+"""Fully fused Pallas TPU encode kernel: samples in, payload words out.
+
+Round 4's post-mortem (ROADMAP R4-3) showed every measured encode negative
+was confounded by a kernel boundary: XLA fuses the encode front INTO the
+level-1 pack, so any standalone Pallas pack pays a [F, B, P] pair
+materialization (+17 MB round trip) the fused XLA path never does.  This
+kernel removes the boundary entirely — ONE VMEM-resident pass does the
+whole of encoder.rs:175-315 + bitpacker.rs:142-163 semantics:
+
+  per grid step (U blocks, TF frame lanes, lanes minor):
+  1. front   — stream the blocks' int16 sample rows in (pipeline
+               double-buffered), diff against a scratch-carried previous
+               sample, classify (masked max-|diff| vs thresholds), and
+               produce per-sample (value, bits) via the closed-form Rice /
+               BFP / literal identities — all in registers;
+  2. level-1 — pre-merge items into <= 32-bit pairs and select-accumulate
+               them into an NB-word register buffer at the block's in-word
+               offset (r = off & 31), with per-pair static word bounds;
+  3. insert  — log-depth shift-up barrel places the buffer at the block's
+               word offset within a K*G-word step window (per-block static
+               bounds: block u starts <= G-1 + u*maxadv words past base);
+  4. sweep   — the window ORs into VMEM-resident output words, which leave
+               VMEM exactly once (one async copy per lane tile at the last
+               step).  Two structures, selected per rung by measurement:
+               "linear" (masked RMW over every slab start, the pack-walk
+               structure) and "dyn" (fori_loop over the TRACED cross-lane
+               [min(q), max(q)] slab range with dynamic sublane slices —
+               encode offsets are monotone and same-batch lanes compress
+               alike, so the per-step spread is a few slabs, not the
+               width; cost scales with actual spread, worst case = linear).
+
+The bit offset, blockfit and statistics are scratch carries — no XLA
+cumsum, no intermediate leaves the kernel.  The XLA wrapper only
+transposes in/out and computes nbytes + CRC (ops/crc_jax.py on the MXU).
+
+Bit-identical to encode_frames' default XLA path by construction and test,
+including the compact-W overflow contract (frames whose payload exceeds W
+produce truncated words but exact total_bits/blockfit/stats — callers
+escalate via fits_width/fits_block_width).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants
+from ..params import Parameters
+from .encode_kernel import _rice_nsubs_np, frame_geometry
+
+
+def _pad_words(W: int, G: int, K: int) -> int:
+    return K * G + (-(W + K * G)) % G
+
+
+def _nb_words(L: int) -> int:
+    """Words one block's buffer can span: block 0 starts at offset 0 with
+    <= 16+6+16L bits; any other block starts at r <= 31 with <= 6+16L."""
+    return max(-(-(16 + 6 + 16 * L) // 32), -(-(31 + 6 + 16 * L) // 32))
+
+
+def _fix_u(u: int, B: int) -> int:
+    """U must keep the sample input block's sublane dim (U*L) tile-friendly;
+    U itself 8-divisible keeps every candidate safe for int16 tiling."""
+    u = min(u, max(1, B))
+    while u > 8 and u % 8:
+        u -= 1
+    return max(1, u)
+
+
+def _auto_geometry(W: int, B: int, L: int, F: int):
+    """(U, TF, K, sweep) for the fused encode kernel, or None when no lane
+    tile fits scoped VMEM.  Measured on v5e (round 5, F=768; see ROADMAP
+    R5-1): U=16 with the dyn sweep wins at every production rung; the
+    budget mirrors decode's measured 14.5 MB ceiling (resident words,
+    single-buffered + double-buffered int16 sample blocks + the K*G
+    window accumulators + barrel intermediates)."""
+    NB = _nb_words(L)
+    maxadv = NB + 1
+    G = 64
+    for u in (16, 8):
+        u_eff = _fix_u(u, B)
+        K = max(2, -(-(G - 1 + u_eff * maxadv + NB) // G))
+        w_pad = W + _pad_words(W, G, K)
+        for tf in (1024, 512, 256):
+            if F <= tf // 2 and tf > 256:
+                continue
+            scoped = (
+                w_pad * tf * 4           # resident words (scratch)
+                + u_eff * L * tf * 2 * 2  # int16 sample blocks, double-buffered
+                + K * G * tf * 4          # window accumulators
+                + 320 * tf * 4            # barrel intermediates headroom
+            )
+            if scoped <= 14_500_000:
+                return u_eff, tf, K, "dyn"
+    return None
+
+
+def fused_encode_fits(params: Parameters, W: int, F: int) -> bool:
+    """True when the fused kernel covers this encode (encode_kernel routes
+    on this for TPU backends when X3_FUSED_ENCODE is enabled)."""
+    _, B, L, _ = frame_geometry(params)
+    if L > 24 or F < 256:
+        return False
+    return _auto_geometry(W, B, L, F) is not None
+
+
+def _barrel_up(buf: list, pos, maxpos: int) -> list:
+    """out[pos + i] = buf[i] — log-depth conditional shift-up (the insertion
+    mirror of the decode kernel's extraction barrel)."""
+    if maxpos <= 0:
+        return list(buf)
+    zero = jnp.zeros_like(buf[0])
+    cur = list(buf)
+    sh = 1
+    while sh <= maxpos:
+        bit = (pos & sh) != 0
+        n = len(cur) + sh
+        cur = [
+            jnp.where(
+                bit,
+                cur[i - sh] if 0 <= i - sh < len(cur) else zero,
+                cur[i] if i < len(cur) else zero,
+            )
+            for i in range(n)
+        ]
+        sh <<= 1
+    return cur
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def encode_frames_fused_words(
+    samples: jax.Array,
+    n_valid: jax.Array,
+    params: Parameters,
+    w_words: int | None = None,
+    interpret: bool = False,
+    geometry: tuple | None = None,
+):
+    """Fused-kernel encode: returns (payload_words uint32 [F, W], total_bits
+    int32 [F], blockfit_bits int32 [F], stats int32 [F, 6]).
+
+    Same semantics as encode_kernel._encode_frames_body's pack_mode="block"
+    outputs (bit-identical words for fitting frames; exact total_bits /
+    blockfit / stats always).  nbytes + CRC stay in the caller
+    (encode_kernel routes here and finishes the dict)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    S, B, L, WFULL = frame_geometry(params)
+    W = min(WFULL, w_words) if w_words is not None else WFULL
+    F = samples.shape[0]
+    G = 64
+    gbits = G.bit_length() - 1
+    NB = _nb_words(L)
+    maxadv = NB + 1
+
+    if geometry is not None:
+        U, TF, K, sweep = geometry
+    else:
+        auto = _auto_geometry(W, B, L, F)
+        if auto is None:
+            raise NotImplementedError(
+                "payload width exceeds the VMEM lane-tile budget; encode via "
+                "the XLA pipeline (encode_kernel routes there automatically)"
+            )
+        U, TF, K, sweep = auto
+        if interpret:
+            # Interpret mode executes each traced op individually — keep the
+            # trace small (same policy as decode_pallas).
+            U, TF = _fix_u(min(4, U), B), min(TF, 256)
+            K = max(2, -(-(G - 1 + U * maxadv + NB) // G))
+
+    steps = -(-B // U)
+    pad_w = _pad_words(W, G, K)
+    W_pad = W + pad_w
+    Wg = W_pad // G
+
+    t0, t1, t2 = params.thresholds
+    orders = tuple(params.codes)
+    nsubs_np = _rice_nsubs_np(params)
+    slot_of_ftype = tuple(int(nsubs_np[k]) for k in range(3))
+
+    s = samples.astype(jnp.int16)
+    # Lanes minor: rows are samples s[:, 1:] (block b covers rows bL..bL+L-1,
+    # its diff base is the previous block's last row / s0 for b=0).
+    x_t = s[:, 1:].T  # [S-1, F] == [B*L, F]
+    n32 = n_valid.astype(jnp.int32)
+    s0 = samples[:, 0].astype(jnp.int32)
+
+    F_pad = -(-F // TF) * TF
+    R = steps * U * L
+    if R != B * L or F_pad != F:
+        x_t = jnp.pad(x_t, ((0, R - B * L), (0, F_pad - F)))
+    if F_pad != F:
+        n32 = jnp.pad(n32, (0, F_pad - F))
+        s0 = jnp.pad(s0, (0, F_pad - F))
+    # s0 / n as an 8-row int32 block (sublane tile floor).
+    s0n = jnp.zeros((8, F_pad), jnp.int32).at[0, :].set(s0).at[1, :].set(n32)
+
+    def kernel(x_ref, s0n_ref, meta_ref, out_hbm, off_s, prev_s, fit_s,
+               stats_s, words_ref, dma_sem):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _init():
+            words_ref[:, :] = jnp.zeros((W_pad, TF), jnp.uint32)
+            off_s[:] = jnp.zeros((TF,), jnp.int32)
+            prev_s[:] = s0n_ref[0, :]
+            fit_s[:] = jnp.zeros((TF,), jnp.int32)
+            stats_s[:, :] = jnp.zeros((8, TF), jnp.int32)
+
+        n = s0n_ref[1, :]
+        s0v = s0n_ref[0, :]
+        off = off_s[:]
+        prev = prev_s[:]
+        fit = fit_s[:]
+        stats = [stats_s[si, :] for si in range(6)]
+
+        q = jnp.clip((off >> 5) >> gbits, 0, Wg - K)
+        base_word = q << gbits
+
+        win = [jnp.zeros((TF,), jnp.uint32) for _ in range(K * G)]
+
+        for u in range(U):
+            b = j * U + u  # traced (j is a grid index)
+            nv = jnp.clip(n - 1 - b * L, 0, L)
+            present = nv > 0
+
+            # ---- front: diffs + classification (encoder.rs:289-315) ----
+            xs, diffs = [], []
+            ma = jnp.zeros((TF,), jnp.int32)
+            p_samp = prev
+            for k in range(L):
+                sk = x_ref[u * L + k, :].astype(jnp.int32)
+                d = sk - p_samp
+                p_samp = sk
+                xs.append(sk)
+                diffs.append(d)
+                ma = jnp.maximum(ma, jnp.where(nv > k, jnp.abs(d), 0))
+            prev = p_samp
+
+            is_rice = ma <= t2
+            ftype = (ma > t0).astype(jnp.int32) + (ma > t1)
+            nb = 32 - jax.lax.clz(jnp.maximum(ma, 1))
+            is_literal = (~is_rice) & (nb >= 15)
+
+            hdr_val = jnp.where(
+                is_rice, ftype + 1, jnp.where(is_literal, 15, nb)
+            )
+            hdr_len = jnp.where(
+                is_rice, constants.RICE_HDR_LEN, constants.BFP_HDR_LEN
+            )
+            hdr_val = jnp.where(present, hdr_val, 0)
+            hdr_len = jnp.where(present, hdr_len, 0)
+
+            # ---- statistics slot (encoder.rs:63,266) ----
+            rice_slot = jnp.full((TF,), slot_of_ftype[0], jnp.int32)
+            for fk in (1, 2):
+                rice_slot = jnp.where(ftype == fk, slot_of_ftype[fk], rice_slot)
+            slot = jnp.where(is_rice, rice_slot, jnp.where(is_literal, 5, 4))
+            for si in range(6):
+                stats[si] = stats[si] + jnp.where(
+                    present & (slot == si), nv, 0
+                )
+
+            # ---- per-sample (value, bits): closed-form codes ----
+            bfp_bits = nb + 1
+            bfp_mask = (jnp.uint32(1) << jnp.clip(bfp_bits, 0, 31).astype(jnp.uint32)) - 1
+            vals, lens = [], []
+            for k in range(L):
+                d = diffs[k]
+                rice_val = jnp.zeros((TF,), jnp.int32)
+                rice_bits = jnp.zeros((TF,), jnp.int32)
+                for fk, order in enumerate(orders):
+                    if order == 0:
+                        c = jnp.ones_like(d)
+                        bts = 2 * jnp.abs(d) + (d >= 0).astype(jnp.int32)
+                    else:
+                        e = jnp.where(d >= 0, d, -d - 1)
+                        bts = (order + 1) + (e >> (order - 1))
+                        low = (d & ((1 << (order - 1)) - 1)) << 1
+                        c = jnp.where(
+                            d >= 0, (1 << order) | low,
+                            ((1 << (order + 1)) - 1) - low,
+                        )
+                    sel = ftype == fk
+                    rice_val = jnp.where(sel, c, rice_val)
+                    rice_bits = jnp.where(sel, bts, rice_bits)
+                v = jnp.where(
+                    is_rice,
+                    rice_val.astype(jnp.uint32),
+                    jnp.where(
+                        is_literal,
+                        (xs[k] & 0xFFFF).astype(jnp.uint32),
+                        diffs[k].astype(jnp.uint32) & bfp_mask,
+                    ),
+                )
+                ln = jnp.where(is_rice, rice_bits, jnp.where(is_literal, 16, bfp_bits))
+                valid = nv > k
+                vals.append(jnp.where(valid, v, jnp.uint32(0)))
+                lens.append(jnp.where(valid, ln, 0))
+
+            # ---- pair merge (identical to encode_kernel pair production) ----
+            # Zero-LENGTH pairs must carry zero VALUE: the level-1 shifts
+            # write `pv << (32 - r)`-style garbage otherwise (the XLA pack
+            # relies on the same invariant).
+            first_len = jnp.where((n > 0) & (b == 0), 16, 0)
+            first_vu = jnp.where(first_len > 0, s0v, 0).astype(jnp.uint32) & 0xFFFF
+            p0_val = (first_vu << jnp.clip(hdr_len, 0, 31).astype(jnp.uint32)) | hdr_val.astype(jnp.uint32)
+            p0_len = first_len + hdr_len
+            pairs = [(p0_val, p0_len)]
+            for k in range(0, L, 2):
+                v0, l0 = vals[k], lens[k]
+                if k + 1 < L:
+                    v1, l1 = vals[k + 1], lens[k + 1]
+                else:
+                    v1, l1 = jnp.zeros((TF,), jnp.uint32), jnp.zeros((TF,), jnp.int32)
+                pairs.append(((v0 << jnp.clip(l1, 0, 31).astype(jnp.uint32)) | v1, l0 + l1))
+
+            # ---- level-1: pairs into an NB-word buffer at r = off & 31 ----
+            r = off & 31
+            accs = [jnp.zeros((TF,), jnp.uint32) for _ in range(NB)]
+            poff = r
+            for p, (pv, plen) in enumerate(pairs):
+                t = poff >> 5
+                sh = 32 - (poff & 31) - plen
+                shl = jnp.clip(sh, 0, 31).astype(jnp.uint32)
+                shr = jnp.clip(-sh, 0, 31).astype(jnp.uint32)
+                hi = jnp.where(sh >= 0, pv << shl, pv >> shr)
+                lo = jnp.where(sh < 0, pv << (32 - shr), jnp.uint32(0))
+                # Static bound: pair p starts <= 31 + 22 + 32p bits in.
+                wmax = min(NB - 1, ((31 + 22 + 32 * p) >> 5) + 1)
+                for w in range(wmax + 1):
+                    accs[w] = (
+                        accs[w]
+                        + jnp.where(t == w, hi, jnp.uint32(0))
+                        + jnp.where(t + 1 == w, lo, jnp.uint32(0))
+                    )
+                poff = poff + plen
+            block_bits = poff - r
+
+            # ---- insert at the block's window word offset ----
+            pw_max = min(K * G - NB, G - 1 + u * maxadv)
+            pw = jnp.clip((off >> 5) - base_word, 0, pw_max)
+            placed = _barrel_up(accs, pw, pw_max)
+            for w in range(min(len(placed), K * G)):
+                win[w] = win[w] + placed[w]
+
+            # ---- carries ----
+            fit = jnp.maximum(fit, (off & (32 * 8 - 1)) + block_bits)
+            off = off + block_bits
+
+        # ---- sweep: window -> resident words ----
+        wk = [jnp.stack(win[k * G : (k + 1) * G], axis=0) for k in range(K)]
+        if sweep == "linear":
+            for k in range(K):
+                for jj in range(Wg - K + 1):
+                    m = (q == jj)[None, :]
+                    slab = words_ref[(jj + k) * G : (jj + k + 1) * G, :]
+                    words_ref[(jj + k) * G : (jj + k + 1) * G, :] = slab + jnp.where(
+                        m, wk[k], jnp.uint32(0)
+                    )
+        elif sweep == "dyn":
+            # Monotone offsets + same-batch lanes compressing alike keep the
+            # per-step cross-lane slab spread to a few positions; the traced
+            # bounds make the sweep pay for the actual spread, worst case
+            # degrading to the linear sweep's position count.
+            qmin = jnp.min(q)
+            qmax = jnp.max(q)
+
+            def body(jj, carry):
+                m = (q == jj)[None, :]
+                for k in range(K):
+                    sl = words_ref[pl.ds((jj + k) * G, G), :]
+                    words_ref[pl.ds((jj + k) * G, G), :] = sl + jnp.where(
+                        m, wk[k], jnp.uint32(0)
+                    )
+                return carry
+
+            jax.lax.fori_loop(qmin, qmax + 1, body, 0)
+        else:
+            raise ValueError(f"unknown sweep mode {sweep!r}")
+
+        off_s[:] = off
+        prev_s[:] = prev
+        fit_s[:] = fit
+        for si in range(6):
+            stats_s[si, :] = stats[si]
+
+        @pl.when(j == steps - 1)
+        def _fin():
+            meta_ref[0, :] = off
+            meta_ref[1, :] = fit
+            for si in range(6):
+                meta_ref[2 + si, :] = stats[si]
+            cp = pltpu.make_async_copy(
+                words_ref, out_hbm.at[:, pl.ds(i * TF, TF)], dma_sem
+            )
+            cp.start()
+            cp.wait()
+
+    meta, out_t = pl.pallas_call(
+        kernel,
+        grid=(F_pad // TF, steps),
+        in_specs=[
+            pl.BlockSpec((U * L, TF), lambda i, j: (j, i)),
+            pl.BlockSpec((8, TF), lambda i, j: (0, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, TF), lambda i, j: (0, i)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((8, F_pad), jnp.int32),
+            jax.ShapeDtypeStruct((W_pad, F_pad), jnp.uint32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((TF,), jnp.int32),
+            pltpu.VMEM((TF,), jnp.int32),
+            pltpu.VMEM((TF,), jnp.int32),
+            pltpu.VMEM((8, TF), jnp.int32),
+            pltpu.VMEM((W_pad, TF), jnp.uint32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(x_t, s0n)
+
+    words = out_t[:W, :F].T
+    total_bits = meta[0, :F]
+    blockfit = meta[1, :F]
+    stats = meta[2:8, :F].T
+    return words, total_bits, blockfit, stats

@@ -276,6 +276,45 @@ def _pack_block_buffers(item_val, item_len, W: int, NW: int = 12, use_pallas: bo
     return words, total_bits.astype(jnp.int32), blockfit.astype(jnp.int32)
 
 
+def _use_fused_encode(params: Parameters, W: int, F: int) -> bool:
+    """Route encode to the fully fused Pallas kernel
+    (ops/encode_fused_pallas.py): samples in, payload words out, one
+    VMEM-resident pass — the R4-3 boundary confound removed.  Opt-in via
+    X3_FUSED_ENCODE=1 while under measurement (round 5)."""
+    import os
+
+    if os.environ.get("X3_FUSED_ENCODE", "0") != "1":
+        return False
+    if jax.default_backend() == "cpu":
+        return False
+    from .encode_fused_pallas import fused_encode_fits
+
+    return fused_encode_fits(params, W, F)
+
+
+def _finish_fused(samples, n_valid, params: Parameters, W: int):
+    """Fused-kernel encode + the XLA epilogue (nbytes alignment, MXU CRC).
+    Same output contract as the default path; blocks never truncate at an
+    NW rung here (there are no block buffers), which only affects words the
+    escalation contract already discards."""
+    from .encode_fused_pallas import encode_frames_fused_words
+
+    words, total_bits, blockfit, stats = encode_frames_fused_words(
+        samples, n_valid.astype(jnp.int32), params, W
+    )
+    nbytes = (total_bits + 7) // 8
+    nbytes = nbytes + (nbytes & 1)
+    crc = crc16_words_jax(words, nbytes, W)
+    return {
+        "payload_words": words,
+        "nbytes": nbytes.astype(jnp.int32),
+        "crc": crc.astype(jnp.int32),
+        "stats": stats,
+        "total_bits": total_bits.astype(jnp.int32),
+        "blockfit_bits": blockfit.astype(jnp.int32),
+    }
+
+
 def _use_pallas_pack(W: int, B: int, L: int, P: int, F: int) -> bool:
     """Opt-in (X3_PALLAS_PACK=1): route the pair pack to the VMEM-resident
     Pallas walk (ops/pack_walk_pallas.py).  MEASURED NEGATIVE in context on
@@ -535,6 +574,9 @@ def _encode_frames_body(samples, n_valid, params: Parameters, pack_mode, w_words
 
     if pack_mode == "fused_pallas":
         return _encode_frames_fused(s, n_valid.astype(jnp.int32), params, w_words, nw_words)
+
+    if pack_mode == "block" and _use_fused_encode(params, W, F):
+        return _finish_fused(samples, n_valid, params, W)
 
     # ---- diffs over the frame (encoder.rs:222-225) ----
     # One shared shifted copy feeds both the diffs and the literal samples.
