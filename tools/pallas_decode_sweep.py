@@ -74,10 +74,10 @@ def main() -> int:
         # the kernel at wide W (many slabs), so the wide rungs are where a
         # structure change could pay.
         CANDIDATES = {
-            "pi240": [None] + [(16, 2048, True, s) for s in ("tl4", "funnel")],
-            "hydrophone": [None] + [(24, 1024, True, s) for s in ("tl4", "tl8", "funnel")],
+            "pi240": [None] + [(16, 2048, True, s) for s in ("tl4", "funnel", "dyn")],
+            "hydrophone": [None] + [(24, 1024, True, s) for s in ("tl4", "tl8", "funnel", "dyn")],
             "music": [None]
-            + [(24, 512, True, s) for s in ("tl4", "tl8", "tl16", "funnel")],
+            + [(24, 512, True, s) for s in ("tl4", "tl8", "tl16", "funnel", "dyn")],
         }
     if os.environ.get("SWEEP_GEOS"):
         # Ad-hoc candidates: SWEEP_GEOS is a Python literal dict
