@@ -37,7 +37,7 @@ def _ref(frames, n_valid, params, W):
     return o
 
 
-@pytest.mark.parametrize("sweep", ["linear", "dyn"])
+@pytest.mark.parametrize("sweep", ["linear", "dyn", "blockrmw"])
 def test_fused_matches_xla_pack(rng, sweep):
     import jax.numpy as jnp
 
@@ -119,17 +119,27 @@ def test_fused_roundtrips_through_decoder(rng):
 
 
 def test_fused_geometry_and_fits():
+    """The TPU routing table: the fused kernel covers only the wide rungs
+    where it measured ahead of the XLA pipeline (round 5 sweeps), with
+    int16-tile-safe U and the dyn sweep."""
     from x3_tpu.ops.encode_fused_pallas import _auto_geometry, fused_encode_fits
     from x3_tpu.ops.encode_kernel import frame_geometry, width_rungs
 
     params = Parameters()
     _, B, L, WFULL = frame_geometry(params)
+    # Measured optimum (v5e, F=768 — ROADMAP R5-1) reproduced exactly.
+    assert _auto_geometry(4096, B, L, 768) == (4, 256, 2, "dyn")
+    assert _auto_geometry(WFULL, B, L, 768) == (4, 256, 2, "dyn")
+    # Narrow rungs stay on the XLA pipeline (fused measured behind there).
     for W in width_rungs(params):
-        geo = _auto_geometry(W, B, L, 768)
-        assert geo is not None
-        U, TF, K, sweep = geo
-        assert U % 8 == 0 and TF >= 256 and K >= 2
-        assert fused_encode_fits(params, W, 768)
+        if W < 4096:
+            assert _auto_geometry(W, B, L, 768) is None
+            assert not fused_encode_fits(params, W, 768)
+        else:
+            geo = _auto_geometry(W, B, L, 768)
+            U, TF, K, sweep = geo
+            assert (U * L) % 16 == 0 and TF == 256 and K >= 2 and sweep == "dyn"
+            assert fused_encode_fits(params, W, 768)
     assert not fused_encode_fits(params, WFULL, 64)  # tiny batch
     big = Parameters(block_len=60, blocks_per_frame=5)
-    assert not fused_encode_fits(big, 512, 768)  # unrolled-walk bound
+    assert not fused_encode_fits(big, 4096, 768)  # unrolled-walk bound

@@ -95,7 +95,14 @@ def main() -> int:
 
     mb = F * spf * 2 / 1e6
     for cname, geos in CANDIDATES.items():
-        wav = make_class_corpus(cname, F, spf)
+        if cname == "noise":
+            # Incompressible: pass-through blocks, lands on the FULL width
+            # rung (the escalation worst case).
+            wav = np.random.default_rng(5).integers(
+                -32768, 32768, F * spf
+            ).astype(np.int16)
+        else:
+            wav = make_class_corpus(cname, F, spf)
         frames = jnp.asarray(wav.reshape(-1, spf)[:F])
         nv = jnp.full((F,), spf, jnp.int32)
 

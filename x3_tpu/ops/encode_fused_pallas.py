@@ -61,40 +61,47 @@ def _nb_words(L: int) -> int:
     return max(-(-(16 + 6 + 16 * L) // 32), -(-(31 + 6 + 16 * L) // 32))
 
 
-def _fix_u(u: int, B: int) -> int:
-    """U must keep the sample input block's sublane dim (U*L) tile-friendly;
-    U itself 8-divisible keeps every candidate safe for int16 tiling."""
-    u = min(u, max(1, B))
-    while u > 8 and u % 8:
-        u -= 1
-    return max(1, u)
+def _fix_u(u: int, B: int, L: int) -> int | None:
+    """Largest U' <= u with (U'*L) % 16 == 0 (the int16 sample input
+    block's sublane dim must stay tile-friendly), or None."""
+    for uu in range(min(u, max(1, B)), 0, -1):
+        if (uu * L) % 16 == 0:
+            return uu
+    return None
 
 
 def _auto_geometry(W: int, B: int, L: int, F: int):
-    """(U, TF, K, sweep) for the fused encode kernel, or None when no lane
-    tile fits scoped VMEM.  Measured on v5e (round 5, F=768; see ROADMAP
-    R5-1): U=16 with the dyn sweep wins at every production rung; the
-    budget mirrors decode's measured 14.5 MB ceiling (resident words,
-    single-buffered + double-buffered int16 sample blocks + the K*G
-    window accumulators + barrel intermediates)."""
+    """(U, TF, K, sweep) for the fused encode kernel, or None to stay on
+    the XLA pipeline.  Measured on v5e (round 5, F=768; ROADMAP R5-1):
+    the fused kernel WINS on the wide rungs — music/W=4096 8.0-8.2 GB/s
+    vs 6.6-6.9 XLA (+15-22% across 4 independent runs) — and LOSES on the
+    narrow ones (pi240 -13%, hydro -15% at their best fused configs), so
+    it routes only where measured ahead (W >= 4096).  The crossover is
+    structural: the XLA merge's one-hot matmul traffic scales with W while
+    the resident-words walk doesn't.  (4, 256, dyn) is the sweep optimum
+    ((8, 256) within a few %; TF >= 512 and the 'linear' sweep lose big —
+    the dyn bounded sweep + small lane tiles, whose cross-lane slab spread
+    stays tiny, are the enablers)."""
+    if W < 4096:
+        return None
     NB = _nb_words(L)
     maxadv = NB + 1
     G = 64
-    for u in (16, 8):
-        u_eff = _fix_u(u, B)
+    for u in (4, 8):
+        u_eff = _fix_u(u, B, L)
+        if u_eff is None:
+            continue
         K = max(2, -(-(G - 1 + u_eff * maxadv + NB) // G))
         w_pad = W + _pad_words(W, G, K)
-        for tf in (1024, 512, 256):
-            if F <= tf // 2 and tf > 256:
-                continue
-            scoped = (
-                w_pad * tf * 4           # resident words (scratch)
-                + u_eff * L * tf * 2 * 2  # int16 sample blocks, double-buffered
-                + K * G * tf * 4          # window accumulators
-                + 320 * tf * 4            # barrel intermediates headroom
-            )
-            if scoped <= 14_500_000:
-                return u_eff, tf, K, "dyn"
+        tf = 256
+        scoped = (
+            w_pad * tf * 4           # resident words (scratch)
+            + u_eff * L * tf * 2 * 2  # int16 sample blocks, double-buffered
+            + K * G * tf * 4          # window accumulators
+            + (NB + 8) * 8 * tf * 4   # barrel + level-1 intermediates headroom
+        )
+        if scoped <= 14_500_000:
+            return u_eff, tf, K, "dyn"
     return None
 
 
@@ -159,19 +166,20 @@ def encode_frames_fused_words(
 
     if geometry is not None:
         U, TF, K, sweep = geometry
+    elif interpret:
+        # Interpret mode executes each traced op individually — keep the
+        # trace small (same policy as decode_pallas), independent of the
+        # TPU routing table.
+        U, TF, sweep = _fix_u(4, B, L) or 1, 256, "dyn"
+        K = max(2, -(-(G - 1 + U * maxadv + NB) // G))
     else:
         auto = _auto_geometry(W, B, L, F)
         if auto is None:
             raise NotImplementedError(
-                "payload width exceeds the VMEM lane-tile budget; encode via "
+                "width rung not routed to the fused kernel; encode via "
                 "the XLA pipeline (encode_kernel routes there automatically)"
             )
         U, TF, K, sweep = auto
-        if interpret:
-            # Interpret mode executes each traced op individually — keep the
-            # trace small (same policy as decode_pallas).
-            U, TF = _fix_u(min(4, U), B), min(TF, 256)
-            K = max(2, -(-(G - 1 + U * maxadv + NB) // G))
 
     steps = -(-B // U)
     pad_w = _pad_words(W, G, K)
@@ -223,37 +231,33 @@ def encode_frames_fused_words(
         q = jnp.clip((off >> 5) >> gbits, 0, Wg - K)
         base_word = q << gbits
 
-        win = [jnp.zeros((TF,), jnp.uint32) for _ in range(K * G)]
+        win = [jnp.zeros((TF,), jnp.uint32) for _ in range(K * G)] if sweep != "blockrmw" else None
+
+        # ---- step-wide diffs: one [U*L, TF] subtract (encoder.rs:222-225).
+        # 2D ops keep the element work identical but cut Mosaic's per-op
+        # issue overhead ~L-fold vs row-serial (measured: the row-serial
+        # first cut ran 2x slower than its op-count model).
+        xs_all = x_ref[:, :].astype(jnp.int32)
+        d_all = xs_all - jnp.concatenate([prev[None, :], xs_all[: U * L - 1, :]], axis=0)
+        prev = xs_all[U * L - 1, :]
 
         for u in range(U):
             b = j * U + u  # traced (j is a grid index)
             nv = jnp.clip(n - 1 - b * L, 0, L)
             present = nv > 0
+            db = d_all[u * L : (u + 1) * L, :]
+            xb = xs_all[u * L : (u + 1) * L, :]
+            vmask = jax.lax.broadcasted_iota(jnp.int32, (L, TF), 0) < nv[None, :]
 
-            # ---- front: diffs + classification (encoder.rs:289-315) ----
-            xs, diffs = [], []
-            ma = jnp.zeros((TF,), jnp.int32)
-            p_samp = prev
-            for k in range(L):
-                sk = x_ref[u * L + k, :].astype(jnp.int32)
-                d = sk - p_samp
-                p_samp = sk
-                xs.append(sk)
-                diffs.append(d)
-                ma = jnp.maximum(ma, jnp.where(nv > k, jnp.abs(d), 0))
-            prev = p_samp
-
+            # ---- classification (encoder.rs:289-315) ----
+            ma = jnp.max(jnp.where(vmask, jnp.abs(db), 0), axis=0)
             is_rice = ma <= t2
             ftype = (ma > t0).astype(jnp.int32) + (ma > t1)
             nb = 32 - jax.lax.clz(jnp.maximum(ma, 1))
             is_literal = (~is_rice) & (nb >= 15)
 
-            hdr_val = jnp.where(
-                is_rice, ftype + 1, jnp.where(is_literal, 15, nb)
-            )
-            hdr_len = jnp.where(
-                is_rice, constants.RICE_HDR_LEN, constants.BFP_HDR_LEN
-            )
+            hdr_val = jnp.where(is_rice, ftype + 1, jnp.where(is_literal, 15, nb))
+            hdr_len = jnp.where(is_rice, constants.RICE_HDR_LEN, constants.BFP_HDR_LEN)
             hdr_val = jnp.where(present, hdr_val, 0)
             hdr_len = jnp.where(present, hdr_len, 0)
 
@@ -263,100 +267,153 @@ def encode_frames_fused_words(
                 rice_slot = jnp.where(ftype == fk, slot_of_ftype[fk], rice_slot)
             slot = jnp.where(is_rice, rice_slot, jnp.where(is_literal, 5, 4))
             for si in range(6):
-                stats[si] = stats[si] + jnp.where(
-                    present & (slot == si), nv, 0
-                )
+                stats[si] = stats[si] + jnp.where(present & (slot == si), nv, 0)
 
-            # ---- per-sample (value, bits): closed-form codes ----
+            # ---- per-sample (value, bits): tensor-order closed-form codes
+            # ([L, TF] ops with the block's order k broadcast — the same
+            # single-evaluation trick as the XLA front). ----
+            rsel = jnp.clip(ftype, 0, 2)
+            kord = jnp.full((TF,), orders[0], jnp.int32)
+            for fk in (1, 2):
+                kord = jnp.where(rsel == fk, orders[fk], kord)
+            kord2 = kord[None, :]
+            kk = jnp.maximum(kord2, 1).astype(jnp.uint32)
+            e = jnp.where(db >= 0, db, -db - 1)
+            bits_k = (kord2 + 1) + (e >> (kk - 1).astype(jnp.int32))
+            low = (db & ((1 << (kk - 1).astype(jnp.int32)) - 1)) << 1
+            code_k = jnp.where(
+                db >= 0, (1 << kk.astype(jnp.int32)) | low,
+                ((1 << (kk.astype(jnp.int32) + 1)) - 1) - low,
+            )
+            bits0 = 2 * jnp.abs(db) + (db >= 0).astype(jnp.int32)
+            rice_val = jnp.where(kord2 == 0, 1, code_k)
+            rice_bits = jnp.where(kord2 == 0, bits0, bits_k)
+
             bfp_bits = nb + 1
             bfp_mask = (jnp.uint32(1) << jnp.clip(bfp_bits, 0, 31).astype(jnp.uint32)) - 1
-            vals, lens = [], []
-            for k in range(L):
-                d = diffs[k]
-                rice_val = jnp.zeros((TF,), jnp.int32)
-                rice_bits = jnp.zeros((TF,), jnp.int32)
-                for fk, order in enumerate(orders):
-                    if order == 0:
-                        c = jnp.ones_like(d)
-                        bts = 2 * jnp.abs(d) + (d >= 0).astype(jnp.int32)
-                    else:
-                        e = jnp.where(d >= 0, d, -d - 1)
-                        bts = (order + 1) + (e >> (order - 1))
-                        low = (d & ((1 << (order - 1)) - 1)) << 1
-                        c = jnp.where(
-                            d >= 0, (1 << order) | low,
-                            ((1 << (order + 1)) - 1) - low,
-                        )
-                    sel = ftype == fk
-                    rice_val = jnp.where(sel, c, rice_val)
-                    rice_bits = jnp.where(sel, bts, rice_bits)
-                v = jnp.where(
-                    is_rice,
-                    rice_val.astype(jnp.uint32),
-                    jnp.where(
-                        is_literal,
-                        (xs[k] & 0xFFFF).astype(jnp.uint32),
-                        diffs[k].astype(jnp.uint32) & bfp_mask,
-                    ),
-                )
-                ln = jnp.where(is_rice, rice_bits, jnp.where(is_literal, 16, bfp_bits))
-                valid = nv > k
-                vals.append(jnp.where(valid, v, jnp.uint32(0)))
-                lens.append(jnp.where(valid, ln, 0))
-
-            # ---- pair merge (identical to encode_kernel pair production) ----
-            # Zero-LENGTH pairs must carry zero VALUE: the level-1 shifts
+            v_all = jnp.where(
+                is_rice[None, :],
+                rice_val.astype(jnp.uint32),
+                jnp.where(
+                    is_literal[None, :],
+                    (xb & 0xFFFF).astype(jnp.uint32),
+                    db.astype(jnp.uint32) & bfp_mask[None, :],
+                ),
+            )
+            l_all = jnp.where(
+                is_rice[None, :], rice_bits,
+                jnp.where(is_literal[None, :], 16, bfp_bits[None, :]),
+            )
+            # Zero-LENGTH items must carry zero VALUE: the level-1 shifts
             # write `pv << (32 - r)`-style garbage otherwise (the XLA pack
             # relies on the same invariant).
+            v_all = jnp.where(vmask, v_all, jnp.uint32(0))
+            l_all = jnp.where(vmask, l_all, 0)
+
+            # ---- pair merge (identical to encode_kernel pair production) ----
             first_len = jnp.where((n > 0) & (b == 0), 16, 0)
             first_vu = jnp.where(first_len > 0, s0v, 0).astype(jnp.uint32) & 0xFFFF
             p0_val = (first_vu << jnp.clip(hdr_len, 0, 31).astype(jnp.uint32)) | hdr_val.astype(jnp.uint32)
             p0_len = first_len + hdr_len
-            pairs = [(p0_val, p0_len)]
-            for k in range(0, L, 2):
-                v0, l0 = vals[k], lens[k]
-                if k + 1 < L:
-                    v1, l1 = vals[k + 1], lens[k + 1]
-                else:
-                    v1, l1 = jnp.zeros((TF,), jnp.uint32), jnp.zeros((TF,), jnp.int32)
-                pairs.append(((v0 << jnp.clip(l1, 0, 31).astype(jnp.uint32)) | v1, l0 + l1))
+            if L % 2:
+                v_all = jnp.concatenate([v_all, jnp.zeros((1, TF), jnp.uint32)], axis=0)
+                l_all = jnp.concatenate([l_all, jnp.zeros((1, TF), jnp.int32)], axis=0)
+            # Mosaic has no strided sublane slice: gather even/odd rows
+            # explicitly (static single-row extracts).
+            Lp = v_all.shape[0]
+            v0 = jnp.stack([v_all[k2, :] for k2 in range(0, Lp, 2)], axis=0)
+            v1 = jnp.stack([v_all[k2, :] for k2 in range(1, Lp, 2)], axis=0)
+            l0 = jnp.stack([l_all[k2, :] for k2 in range(0, Lp, 2)], axis=0)
+            l1 = jnp.stack([l_all[k2, :] for k2 in range(1, Lp, 2)], axis=0)
+            pv_all = jnp.concatenate(
+                [p0_val[None, :], (v0 << jnp.clip(l1, 0, 31).astype(jnp.uint32)) | v1],
+                axis=0,
+            )
+            pl_all = jnp.concatenate([p0_len[None, :], l0 + l1], axis=0)
+            P = pv_all.shape[0]
 
-            # ---- level-1: pairs into an NB-word buffer at r = off & 31 ----
+            # ---- level-1: pairs into an NB-word buffer at r = off & 31,
+            # fully vectorized: a log-depth [P, TF] prefix sum gives every
+            # pair's bit offset, then per target word one masked reduce. ----
             r = off & 31
-            accs = [jnp.zeros((TF,), jnp.uint32) for _ in range(NB)]
-            poff = r
-            for p, (pv, plen) in enumerate(pairs):
-                t = poff >> 5
-                sh = 32 - (poff & 31) - plen
-                shl = jnp.clip(sh, 0, 31).astype(jnp.uint32)
-                shr = jnp.clip(-sh, 0, 31).astype(jnp.uint32)
-                hi = jnp.where(sh >= 0, pv << shl, pv >> shr)
-                lo = jnp.where(sh < 0, pv << (32 - shr), jnp.uint32(0))
-                # Static bound: pair p starts <= 31 + 22 + 32p bits in.
-                wmax = min(NB - 1, ((31 + 22 + 32 * p) >> 5) + 1)
-                for w in range(wmax + 1):
-                    accs[w] = (
-                        accs[w]
-                        + jnp.where(t == w, hi, jnp.uint32(0))
-                        + jnp.where(t + 1 == w, lo, jnp.uint32(0))
-                    )
-                poff = poff + plen
-            block_bits = poff - r
+            ends = pl_all
+            sh_p = 1
+            while sh_p < P:
+                ends = ends + jnp.concatenate(
+                    [jnp.zeros((sh_p, TF), jnp.int32), ends[: P - sh_p, :]], axis=0
+                )
+                sh_p <<= 1
+            block_bits = ends[P - 1, :]
+            poff = r[None, :] + ends - pl_all
+            t = poff >> 5
+            sh = 32 - (poff & 31) - pl_all
+            shl = jnp.clip(sh, 0, 31).astype(jnp.uint32)
+            shr = jnp.clip(-sh, 0, 31).astype(jnp.uint32)
+            hi = jnp.where(sh >= 0, pv_all << shl, pv_all >> shr)
+            lo = jnp.where(sh < 0, pv_all << (32 - shr), jnp.uint32(0))
+            # Mosaic can't reduce unsigned ints: bitcast to int32 for the
+            # masked sums (disjoint-bit mod-2^32 adds are signedness-blind).
+            hi_s = jax.lax.bitcast_convert_type(hi, jnp.int32)
+            lo_s = jax.lax.bitcast_convert_type(lo, jnp.int32)
+            accs = []
+            for w in range(NB):
+                # Static bound: pair p starts <= 31 + 22 + 32p bits in, so
+                # only pairs p >= w - 2 can reach word w.
+                pmin = max(0, w - 2)
+                acc = jnp.sum(
+                    jnp.where(t[pmin:, :] == w, hi_s[pmin:, :], 0), axis=0
+                ) + jnp.sum(
+                    jnp.where(t[pmin:, :] + 1 == w, lo_s[pmin:, :], 0), axis=0
+                )
+                accs.append(jax.lax.bitcast_convert_type(acc, jnp.uint32))
 
-            # ---- insert at the block's window word offset ----
-            pw_max = min(K * G - NB, G - 1 + u * maxadv)
-            pw = jnp.clip((off >> 5) - base_word, 0, pw_max)
-            placed = _barrel_up(accs, pw, pw_max)
-            for w in range(min(len(placed), K * G)):
-                win[w] = win[w] + placed[w]
+            # ---- place the buffer into the resident words ----
+            if sweep == "blockrmw":
+                # Align within 8 words (3-stage barrel), then RMW the
+                # resident words directly at the block's slab-of-8 via the
+                # bounded dynamic sweep — no shared window, no deep barrel.
+                pw8 = (off >> 5) & 7
+                placed = _barrel_up(accs, pw8, 7)
+                NS = -(-len(placed) // 8)
+                zero = jnp.zeros((TF,), jnp.uint32)
+                slabs = [
+                    jnp.stack(
+                        [placed[s * 8 + g] if s * 8 + g < len(placed) else zero
+                         for g in range(8)],
+                        axis=0,
+                    )
+                    for s in range(NS)
+                ]
+                q8 = jnp.clip((off >> 5) >> 3, 0, W_pad // 8 - NS)
+                q8min = jnp.min(q8)
+                q8max = jnp.max(q8)
+
+                def rmw_body(jj, carry, slabs=slabs, q8=q8):
+                    m = (q8 == jj)[None, :]
+                    for s_i in range(NS):
+                        sl = words_ref[pl.ds((jj + s_i) * 8, 8), :]
+                        words_ref[pl.ds((jj + s_i) * 8, 8), :] = sl + jnp.where(
+                            m, slabs[s_i], jnp.uint32(0)
+                        )
+                    return carry
+
+                jax.lax.fori_loop(q8min, q8max + 1, rmw_body, 0)
+            else:
+                pw_max = min(K * G - NB, G - 1 + u * maxadv)
+                pw = jnp.clip((off >> 5) - base_word, 0, pw_max)
+                placed = _barrel_up(accs, pw, pw_max)
+                for w in range(min(len(placed), K * G)):
+                    win[w] = win[w] + placed[w]
 
             # ---- carries ----
             fit = jnp.maximum(fit, (off & (32 * 8 - 1)) + block_bits)
             off = off + block_bits
 
         # ---- sweep: window -> resident words ----
-        wk = [jnp.stack(win[k * G : (k + 1) * G], axis=0) for k in range(K)]
-        if sweep == "linear":
+        if sweep == "blockrmw":
+            pass  # blocks RMW'd the resident words directly
+        elif sweep == "linear":
+            wk = [jnp.stack(win[k * G : (k + 1) * G], axis=0) for k in range(K)]
             for k in range(K):
                 for jj in range(Wg - K + 1):
                     m = (q == jj)[None, :]
@@ -369,6 +426,7 @@ def encode_frames_fused_words(
             # per-step cross-lane slab spread to a few positions; the traced
             # bounds make the sweep pay for the actual spread, worst case
             # degrading to the linear sweep's position count.
+            wk = [jnp.stack(win[k * G : (k + 1) * G], axis=0) for k in range(K)]
             qmin = jnp.min(q)
             qmax = jnp.max(q)
 

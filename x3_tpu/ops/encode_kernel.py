@@ -279,11 +279,13 @@ def _pack_block_buffers(item_val, item_len, W: int, NW: int = 12, use_pallas: bo
 def _use_fused_encode(params: Parameters, W: int, F: int) -> bool:
     """Route encode to the fully fused Pallas kernel
     (ops/encode_fused_pallas.py): samples in, payload words out, one
-    VMEM-resident pass — the R4-3 boundary confound removed.  Opt-in via
-    X3_FUSED_ENCODE=1 while under measurement (round 5)."""
+    VMEM-resident pass — the R4-3 boundary confound removed.  The kernel
+    routes itself only to the rungs where it measured ahead of the XLA
+    pipeline (W >= 4096: music-class +15-22%; see
+    encode_fused_pallas._auto_geometry).  X3_FUSED_ENCODE=0 opts out."""
     import os
 
-    if os.environ.get("X3_FUSED_ENCODE", "0") != "1":
+    if os.environ.get("X3_FUSED_ENCODE", "1") != "1":
         return False
     if jax.default_backend() == "cpu":
         return False
