@@ -155,22 +155,25 @@ def test_auto_geometry_invariants():
     _, B, L, WFULL = frame_geometry(params)
     WIN = block_buffer_words(params)
     maxadv = (6 + 16 * L + 31) // 32 + 1
-    # Measured optima (v5e, F=6144 — ROADMAP R4-2) are reproduced exactly.
-    assert _auto_geometry(512, B, L, 6144, WIN, maxadv) == (16, 2048, True, "linear")
-    assert _auto_geometry(1024, B, L, 6144, WIN, maxadv) == (16, 1024, True, "linear")
-    assert _auto_geometry(2048, B, L, 6144, WIN, maxadv) == (24, 1024, True, "tl4")
-    assert _auto_geometry(4096, B, L, 6144, WIN, maxadv) == (24, 512, True, "tl4")
-    # Full width stays on the linear sweep: tl4 at W=5096 crashes the TPU
-    # compiler (tpu_compile_helper exit 1 — twice, while 2048/4096 compile
-    # and win); linear is the measured known-compiling config there.
-    assert _auto_geometry(WFULL, B, L, 6144, WIN, maxadv) == (24, 512, True, "linear")
+    # Measured optima (v5e, F=6144 — ROADMAP R5-2: the round-5 dyn
+    # bounded-dynamic-sweep pins, +17-86% over the round-4 structures)
+    # are reproduced exactly.
+    assert _auto_geometry(512, B, L, 6144, WIN, maxadv) == (8, 2048, True, "dyn")
+    assert _auto_geometry(1024, B, L, 6144, WIN, maxadv) == (8, 2048, True, "dyn")
+    assert _auto_geometry(2048, B, L, 6144, WIN, maxadv) == (8, 1024, True, "dyn")
+    assert _auto_geometry(4096, B, L, 6144, WIN, maxadv) == (24, 512, True, "dyn")
+    assert _auto_geometry(WFULL, B, L, 6144, WIN, maxadv) == (8, 512, True, "dyn")
+    # Non-rung widths / foreign L stay on the compile-safe legacy table
+    # (dyn's compile-crash boundary sits just above the verified pins).
+    assert _auto_geometry(3072, B, L, 6144, WIN, maxadv)[3] == "linear"
+    assert _auto_geometry(512, B, 60, 6144, WIN, maxadv)[3] == "linear"
     for W in (512, 1024, 2048, 4096, WFULL):
         for F in (512, 768, 2048, 6144):
             got = _auto_geometry(W, B, L, F, WIN, maxadv)
             assert got is not None
             U, TF, dma, sel = got
             assert (U * L) % 8 == 0 and dma
-            assert sel in ("linear", "tl4")
+            assert sel in ("linear", "tl4", "dyn")
             K = max(2, -(-(64 - 1 + WIN + U * maxadv) // 64))
             w_pad = W + _pad_words(W, 64, K)
             assert w_pad * TF * 4 + K * 64 * TF * 4 + U * L * TF * 4 <= 14_500_000
@@ -233,4 +236,4 @@ def test_foreign_device_kind_gets_conservative_geometry(monkeypatch):
 
     # Back on the tuned kind the table is restored.
     monkeypatch.setenv("X3_DEVICE_KIND_OVERRIDE", "TPU v5 lite")
-    assert dp._auto_geometry(4096, B, L, 6144, WIN, maxadv) == (24, 512, True, "tl4")
+    assert dp._auto_geometry(4096, B, L, 6144, WIN, maxadv) == (24, 512, True, "dyn")

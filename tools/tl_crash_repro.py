@@ -33,14 +33,23 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 
-# (select, W): the round-4 crash boundary.  tl4@2048/4096 are the known-good
-# production configs, included as canaries for the harness itself.
+# (select, W[, U, TF]): the round-4/5 crash boundary.  The known-good
+# production configs are included as canaries for the harness itself.
+# Round 5 added the "dyn" bounded-dynamic-sweep select, whose crash
+# boundary tracks the fori carry / scratch size (K*G*TF and W_pad*TF).
 DEFAULT_CONFIGS = [
-    ("tl4", 2048),  # known-compiling (production)
-    ("tl4", 4096),  # known-compiling (production)
-    ("tl4", 5096),  # CRASHES on round-4 toolchain
-    ("tl8", 2048),  # CRASHES on round-4 toolchain
-    ("tl8", 4096),  # CRASHES on round-4 toolchain
+    ("tl4", 2048),              # known-compiling (round-4 production)
+    ("tl4", 4096),              # known-compiling (round-4 production)
+    ("tl4", 5096),              # CRASHES on round-4/5 toolchain
+    ("tl8", 2048),              # CRASHES on round-4/5 toolchain
+    ("tl8", 4096),              # CRASHES on round-4/5 toolchain
+    ("dyn", 2048, 8, 1024),     # known-compiling (round-5 production, 30.0 GB/s)
+    ("dyn", 4096, 24, 512),     # known-compiling (round-5 production, 18.4 GB/s)
+    ("dyn", 512, 8, 2048),      # known-compiling (round-5 production, 34.7 GB/s)
+    ("dyn", 2048, 24, 1024),    # CRASHES on round-5 toolchain
+    ("dyn", 2048, 8, 2048),     # CRASHES on round-5 toolchain
+    ("dyn", 512, 16, 2048),     # CRASHES on round-5 toolchain
+    ("dyn", 5096, 24, 512),     # CRASHES on round-5 toolchain
 ]
 
 _CHILD = r"""
@@ -54,6 +63,7 @@ from x3_tpu.ops.encode_kernel import frame_geometry
 from x3_tpu.params import Parameters
 
 select, W = {select!r}, {W}
+U_override, TF_override = {U!r}, {TF!r}
 params = Parameters()
 _, B, L, WFULL = frame_geometry(params)
 W = min(W, WFULL)
@@ -73,6 +83,8 @@ from x3_tpu.ops.encode_kernel import block_buffer_words as bbw
 maxadv = (6 + 16 * L + 31) // 32 + 1
 auto = _auto_geometry(W, B, L, F, bbw(params), maxadv)
 U, TF, dma, _ = auto if auto is not None else (16, 512, True, "linear")
+if U_override is not None:
+    U, TF = U_override, TF_override
 out, err = decode_frames_pallas(payload, ns, pl, params, geometry=(U, TF, dma, select))
 jax.block_until_ready((out, err))
 print("COMPILED-AND-RAN")
@@ -84,15 +96,16 @@ def main() -> int:
     if spec:
         configs = []
         for tok in spec.split(","):
-            sel, w = tok.split(":")
-            configs.append((sel, int(w)))
+            parts = tok.split(":")
+            configs.append((parts[0], *map(int, parts[1:])))
     else:
         configs = DEFAULT_CONFIGS
 
     any_crash = False
-    for select, W in configs:
+    for select, W, *utf in configs:
+        U, TF = (utf[0], utf[1]) if utf else (None, None)
         with tempfile.TemporaryDirectory(prefix="x3_tl_repro_") as cache:
-            code = _CHILD.format(repo=str(REPO), cache=cache, select=select, W=W)
+            code = _CHILD.format(repo=str(REPO), cache=cache, select=select, W=W, U=U, TF=TF)
             r = subprocess.run(
                 [sys.executable, "-c", code],
                 capture_output=True,
@@ -103,7 +116,8 @@ def main() -> int:
         ok = r.returncode == 0 and "COMPILED-AND-RAN" in r.stdout
         tag = "COMPILES" if ok else "CRASHES"
         any_crash |= not ok
-        print(f"{select}@W={W}: {tag}" + ("" if ok else f" (rc={r.returncode})"))
+        geo = f" (U={U}, TF={TF})" if U is not None else ""
+        print(f"{select}@W={W}{geo}: {tag}" + ("" if ok else f" (rc={r.returncode})"))
         if not ok:
             tail = (r.stderr or r.stdout).strip().splitlines()[-3:]
             for ln in tail:

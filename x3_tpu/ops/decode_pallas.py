@@ -137,6 +137,36 @@ def _auto_geometry(W: int, B: int, L: int, F: int, WIN: int, maxadv: int):
     the linear one-hot sweep wins at narrow W; tlP (two-level factored
     one-hot) wins where the sweep covers many slab starts (wide W)."""
     tuned = geometry_is_tuned()
+    if tuned and L == 20:
+        # Round-5 "dyn" bounded-dynamic-sweep pins — the dyn select beat
+        # every round-4 structure on every rung (best-of-N, bit-exact):
+        # W=512 36.5 GB/s (+17% vs linear), W=1024 33.9 (+30%), W=2048
+        # 29.7 (+18% vs tl4), W=4096 18.0 (+31% vs tl4), full W=5096 16.8
+        # (+86% vs linear).  Pins are compile-VERIFIED (U, TF) pairs at
+        # the kernel's measured L=20 geometry: dyn's compile-crash
+        # boundary (tpu_compile_helper exit 1) sits just above them —
+        # (8,2048)@W=2048, (24,1024)@2048, (16,2048)@512 and (24,512)@5096
+        # all crash (tools/tl_crash_repro.py keeps the boundary testable).
+        # Non-rung widths and foreign L stay on the legacy linear/tl4
+        # table below (compile-safe general path).
+        dyn_table = {
+            512: (8, 2048),
+            1024: (8, 2048),
+            2048: (8, 1024),
+            4096: (24, 512),
+            5096: (8, 512),
+        }
+        pin = dyn_table.get(W)
+        if pin is not None:
+            u, tf = pin
+            u = _fix_ul(min(u, max(1, B)), L)
+            while tf > 256 and F <= tf // 2:
+                tf //= 2  # tiny batches: don't pad lanes to a huge tile
+            K = max(2, -(-(64 - 1 + WIN + u * maxadv) // 64))
+            w_pad = W + _pad_words(W, 64, K)
+            scoped = w_pad * tf * 4 + K * 64 * tf * 4 + u * L * tf * 2 * 2
+            if scoped <= 14_500_000:
+                return u, tf, True, "dyn"
     u = 24 if (tuned and W >= 2048) else 16
     u = _fix_ul(min(u, max(1, B)), L)
     K = max(2, -(-(64 - 1 + WIN + u * maxadv) // 64))
