@@ -161,7 +161,13 @@ def probed_h2d_mbps() -> float | None:
     kind and cached at /tmp (None when not applicable: CPU backend, probe
     disabled, or jax unavailable).  H2D is the proxy for the whole
     transfer-bound file round trip; the first-ever D2H on some fabrics is
-    pathologically slow, so the probe deliberately never reads back."""
+    pathologically slow, so the probe deliberately never reads back bulk
+    data — completion is forced via a jitted scalar reduction instead
+    (``block_until_ready`` returns BEFORE the transfer completes on the
+    tunneled backend — observed round 5: a 1961 MB/s enqueue-rate reading
+    on a link whose sustained H2D was ~11 MB/s mis-routed every e2e
+    conversion to the jax engine; the 'h2d2' cache-key version invalidates
+    entries measured the old way)."""
     if os.environ.get("X3_AUTO_PROBE", "1") == "0":
         return None
     try:
@@ -170,7 +176,7 @@ def probed_h2d_mbps() -> float | None:
         backend = jax.default_backend()
         if backend == "cpu":
             return None  # "device" is host RAM; transfer cost is not the question
-        key = f"{backend}:{jax.devices()[0].device_kind}"
+        key = f"h2d2:{backend}:{jax.devices()[0].device_kind}"
     except Exception:
         return None
     if key in _probe_memo:
@@ -183,14 +189,20 @@ def probed_h2d_mbps() -> float | None:
         import jax
         import numpy as np
 
-        # Small warmup transfer first (connection setup / allocator paths),
-        # then time the best of 3 x 8 MB puts.
+        import jax.numpy as jnp
+
+        # Small warmup transfer first (connection setup / allocator paths)
+        # and a jitted-sum warmup (compile), then time the best of 3 x 8 MB
+        # puts.  Completion is forced by materializing a scalar computed
+        # FROM the transferred buffer — the only sync this backend honors.
         jax.device_put(np.zeros(1024, np.uint8)).block_until_ready()
+        touch = jax.jit(lambda a: jnp.sum(a[::4096].astype(jnp.int32)))
+        int(touch(jax.device_put(np.zeros(8 << 20, np.uint8))))
         buf = np.zeros(8 << 20, np.uint8)
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            jax.device_put(buf).block_until_ready()
+            int(touch(jax.device_put(buf)))
             best = min(best, time.perf_counter() - t0)
         mbps = (len(buf) / 1e6) / max(best, 1e-9)
     except Exception:
